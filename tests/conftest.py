@@ -1,0 +1,42 @@
+"""Test configuration: force CPU backend with a virtual 8-device mesh so all
+sharding tests run without TPU hardware (Pallas kernels run in interpret mode
+on CPU; see tpu_zstd.ops for the interpret flag plumbing)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0xC0FFEE)
+
+
+def _gen_cases(rng):
+    return {
+        "empty": b"",
+        "one_byte": b"a",
+        "short_text": b"hello world, hello zstd",
+        "rle": b"\x55" * 3000,
+        "repetitive": b"abcabcabcabc" * 200,
+        "cycle256": bytes(range(256)) * 8,
+        "random_4k": rng.integers(0, 256, 4096, dtype=np.uint8).tobytes(),
+        "low_entropy": rng.integers(0, 8, 8192, dtype=np.uint8).tobytes(),
+        "text": b"the quick brown fox jumps over the lazy dog. " * 300,
+        "mixed": b"".join(
+            bytes(rng.integers(0, 256, 64, dtype=np.uint8)) + b"COMMON-PATTERN" * 8
+            for _ in range(40)
+        ),
+        "multiblock": b"some repetitive content 0123456789 " * 9000,  # > 128 KiB
+    }
+
+
+@pytest.fixture(scope="session")
+def corpus(rng):
+    return _gen_cases(rng)
