@@ -1,0 +1,60 @@
+"""Vectorized bit deposit: pack variable-width bit fields into a u32 word stream.
+
+TPU-native replacement for the reference's sequential GPU bitstream writer
+(reference src/gpu_bitstream.cuh:14-50 `BIT_CStream_t`): instead of a serial
+LSB-first append loop, every field's absolute bit offset is computed with one
+prefix sum and all fields are deposited in parallel with two scatter-adds
+(contributions to the same word occupy disjoint bit ranges, so integer add is
+equivalent to bitwise OR).
+
+All functions are jittable and shape-static.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+U32 = jnp.uint32
+
+
+def deposit_bits(values: jax.Array, lengths: jax.Array, num_words: int) -> tuple[jax.Array, jax.Array]:
+    """Pack bit fields LSB-first at consecutive bit offsets.
+
+    values:  (M,) uint32 field values (only the low `lengths[i]` bits are used)
+    lengths: (M,) int32 bit widths (0 <= length <= 31; 0 means "no field")
+    num_words: size of the output u32 word buffer (static)
+
+    Returns (words[num_words] uint32, total_bits int32). Field i lands at bit
+    offset sum(lengths[:i]) of the stream; byte j of the stream is
+    (words[j//4] >> (8*(j%4))) & 0xFF.
+    """
+    lengths = lengths.astype(jnp.int32)
+    offs = jnp.cumsum(lengths) - lengths  # exclusive prefix sum
+    total_bits = offs[-1] + lengths[-1]
+
+    mask = (U32(1) << lengths.astype(U32)) - U32(1)
+    v = values.astype(U32) & mask
+
+    word = offs >> 5
+    sh = (offs & 31).astype(U32)
+    lo = v << sh
+    # High spill into the next word; shift by (32 - sh) is undefined at sh==0,
+    # so split the shift into two well-defined halves.
+    hi = (v >> U32(1)) >> (U32(31) - sh)
+
+    # Drop zero-length fields entirely (their offset may alias a real field).
+    live = lengths > 0
+    word = jnp.where(live, word, num_words)  # out of range -> dropped
+    words = jnp.zeros(num_words, dtype=U32)
+    words = words.at[word].add(lo, mode="drop")
+    words = words.at[word + 1].add(hi, mode="drop")
+    return words, total_bits
+
+
+def words_to_bytes(words: jax.Array) -> jax.Array:
+    """u32 word stream -> little-endian byte stream (4x length, uint8)."""
+    w = words[:, None]
+    shifts = jnp.arange(4, dtype=U32) * U32(8)
+    b = (w >> shifts[None, :]) & U32(0xFF)
+    return b.reshape(-1).astype(jnp.uint8)

@@ -1,0 +1,185 @@
+"""End-to-end TPU block compression pipeline + host frame assembly.
+
+Counterpart of the reference's DefaultZstdManager::compress GPU path
+(reference src/cuda_zstd_manager.cu:1536-3192): Phase-1 LZ77 + greedy parse,
+Phase-2 literals/sequence encoding and block emission. The TPU design replaces
+the multi-stream per-block loop with one jitted, vmapped function over a
+(blocks, block_size) batch; Raw/RLE/Compressed block selection happens inside
+the kernel with a gather-based assembly (no BlockBufferWriter staging).
+
+Host-side code here only splits/pads input and concatenates the final frame
+bytes (numpy slicing; the heavy work is on device).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import BLOCK_COMPRESSED, BLOCK_RAW, BLOCK_RLE, BLOCK_SIZE_MAX
+from ..format.frame import write_frame_header
+from ..format.xxhash import content_checksum
+from .fse_jax import encode_sequences_predefined
+from .lz77_jax import parse_block
+
+I32 = jnp.int32
+U32 = jnp.uint32
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Static compile-time pipeline parameters (one jit cache entry each)."""
+
+    block_size: int = BLOCK_SIZE_MAX
+    hash_log: int = 16
+    depth: int = 2
+    cap: int = 32
+    min_match: int = 4
+
+    @property
+    def max_seqs(self) -> int:
+        # greedy advance per sequence >= min_match (>= 4); chunk-align.
+        return self.block_size // 4
+
+    @property
+    def seq_cap(self) -> int:
+        # worst case ~34 bits/sequence (17 state + <=17 offset extra)
+        return (self.max_seqs * 40) // 8 + 64
+
+
+DEFAULT_CONFIG = PipelineConfig()
+
+
+def _compress_one_block(block: jax.Array, n: jax.Array, cfg: PipelineConfig):
+    """block: (N,) uint8, n: () int32 actual length.
+
+    Returns (content[(N,)] uint8, content_len, block_type) — the block body
+    WITHOUT the 3-byte block header (the frame assembler adds it, since the
+    `last` flag is frame-level).
+    """
+    N = cfg.block_size
+    seqs = parse_block(
+        block,
+        n,
+        max_seqs=cfg.max_seqs,
+        hash_log=cfg.hash_log,
+        depth=cfg.depth,
+        cap=cfg.cap,
+        min_match=cfg.min_match,
+    )
+
+    # Literal compaction: gather uncovered bytes to the front.
+    lit_rank = jnp.cumsum(seqs.is_lit.astype(I32)) - 1
+    lidx = jnp.where(seqs.is_lit, lit_rank, N)
+    lits = jnp.zeros(N, dtype=jnp.uint8).at[lidx].set(block.astype(jnp.uint8), mode="drop")
+    nlit = seqs.nlit
+
+    # Raw literals section header (RFC 8878 §3.1.1.3.1.1).
+    lit_hdr_len = jnp.where(nlit < 32, 1, jnp.where(nlit < 4096, 2, 3))
+    v2 = (nlit << 4) | (1 << 2)
+    v3 = (nlit << 4) | (3 << 2)
+    lh = jnp.zeros(3, dtype=I32)
+    lh = lh.at[0].set(
+        jnp.where(nlit < 32, nlit << 3, jnp.where(nlit < 4096, v2 & 0xFF, v3 & 0xFF))
+    )
+    lh = lh.at[1].set(jnp.where(nlit < 4096, (v2 >> 8) & 0xFF, (v3 >> 8) & 0xFF))
+    lh = lh.at[2].set((v3 >> 16) & 0xFF)
+
+    seq_bytes, seq_len = encode_sequences_predefined(
+        seqs.ll, seqs.ml, seqs.ob, seqs.nseq, cfg.max_seqs, cfg.seq_cap
+    )
+
+    lit_sec_len = lit_hdr_len + nlit
+    body_len = lit_sec_len + seq_len
+
+    # Block type decision. RLE: whole block is one repeated byte.
+    pos = jnp.arange(N, dtype=I32)
+    all_same = jnp.sum(((block != block[0]) & (pos < n)).astype(I32)) == 0
+    is_rle = all_same & (n >= 2)
+    is_comp = ~is_rle & (body_len < n) & (seqs.nseq > 0)
+    btype = jnp.where(is_rle, BLOCK_RLE, jnp.where(is_comp, BLOCK_COMPRESSED, BLOCK_RAW))
+    content_len = jnp.where(is_rle, 1, jnp.where(is_comp, body_len, n))
+
+    # Gather-based assembly of the compressed body.
+    j = jnp.arange(N, dtype=I32)
+    in_lit_hdr = j < lit_hdr_len
+    in_lits = j < lit_sec_len
+    lj = jnp.clip(j - lit_hdr_len, 0, N - 1)
+    sj = jnp.clip(j - lit_sec_len, 0, cfg.seq_cap - 1)
+    comp_byte = jnp.where(
+        in_lit_hdr,
+        lh[jnp.clip(j, 0, 2)].astype(jnp.uint8),
+        jnp.where(in_lits, lits[lj], seq_bytes[sj]),
+    )
+    content = jnp.where(
+        is_rle,
+        jnp.broadcast_to(block[0], (N,)).astype(jnp.uint8),
+        jnp.where(is_comp, comp_byte, block.astype(jnp.uint8)),
+    )
+    return content, content_len, btype
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def compress_blocks(blocks: jax.Array, lengths: jax.Array, cfg: PipelineConfig):
+    """Batched block compression: (B, N) uint8 + (B,) lengths -> per-block bodies.
+
+    Returns (contents (B, N) uint8, content_lens (B,), block_types (B,)).
+    """
+    fn = functools.partial(_compress_one_block, cfg=cfg)
+    return jax.vmap(fn)(blocks, lengths)
+
+
+# --- Host-side framing ---------------------------------------------------------------
+
+
+def _split_blocks(data: bytes, block_size: int) -> tuple[np.ndarray, np.ndarray]:
+    n = len(data)
+    nblocks = max(1, -(-n // block_size))
+    blocks = np.zeros((nblocks, block_size), dtype=np.uint8)
+    lengths = np.zeros(nblocks, dtype=np.int32)
+    arr = np.frombuffer(data, dtype=np.uint8)
+    for b in range(nblocks):
+        chunk = arr[b * block_size : min((b + 1) * block_size, n)]
+        blocks[b, : len(chunk)] = chunk
+        lengths[b] = len(chunk)
+    return blocks, lengths
+
+
+def compress(
+    data: bytes,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    checksum: bool = False,
+    interpret: bool = False,
+) -> bytes:
+    """Single-shot TPU compression of one buffer into one zstd frame."""
+    if len(data) == 0:
+        hdr = write_frame_header(0, checksum=checksum)
+        out = hdr + (1).to_bytes(3, "little")  # empty raw last block
+        if checksum:
+            out += content_checksum(b"").to_bytes(4, "little")
+        return out
+    blocks, lengths = _split_blocks(data, cfg.block_size)
+    contents, clens, btypes = jax.device_get(
+        compress_blocks(jnp.asarray(blocks), jnp.asarray(lengths), cfg)
+    )
+    parts = [write_frame_header(len(data), checksum=checksum)]
+    nblocks = len(lengths)
+    for b in range(nblocks):
+        last = 1 if b == nblocks - 1 else 0
+        btype = int(btypes[b])
+        clen = int(clens[b])
+        if btype == BLOCK_RLE:
+            hdr = (int(lengths[b]) << 3) | (BLOCK_RLE << 1) | last
+            parts.append(hdr.to_bytes(3, "little"))
+            parts.append(contents[b, :1].tobytes())
+        else:
+            hdr = (clen << 3) | (btype << 1) | last
+            parts.append(hdr.to_bytes(3, "little"))
+            parts.append(contents[b, :clen].tobytes())
+    if checksum:
+        parts.append(content_checksum(data).to_bytes(4, "little"))
+    return b"".join(parts)
