@@ -22,7 +22,7 @@ def deposit_bits(values: jax.Array, lengths: jax.Array, num_words: int) -> tuple
     """Pack bit fields LSB-first at consecutive bit offsets.
 
     values:  (M,) uint32 field values (only the low `lengths[i]` bits are used)
-    lengths: (M,) int32 bit widths (0 <= length <= 31; 0 means "no field")
+    lengths: (M,) int32 bit widths (0 <= length <= 32; 0 means "no field")
     num_words: size of the output u32 word buffer (static)
 
     Returns (words[num_words] uint32, total_bits int32). Field i lands at bit
@@ -33,7 +33,11 @@ def deposit_bits(values: jax.Array, lengths: jax.Array, num_words: int) -> tuple
     offs = jnp.cumsum(lengths) - lengths  # exclusive prefix sum
     total_bits = offs[-1] + lengths[-1]
 
-    mask = (U32(1) << lengths.astype(U32)) - U32(1)
+    mask = jnp.where(
+        lengths >= 32,
+        U32(0xFFFFFFFF),
+        (U32(1) << jnp.minimum(lengths, 31).astype(U32)) - U32(1),
+    )
     v = values.astype(U32) & mask
 
     word = offs >> 5

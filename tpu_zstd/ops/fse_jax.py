@@ -1,29 +1,28 @@
-"""TPU-parallel FSE (tANS) sequence-section encoder (RFC 8878 §3.1.1.3.2).
+"""TPU-parallel FSE (tANS) sequence-section encoder (RFC 8878 §3.1.1.3.2), v2.
 
-The ANS state chain is inherently sequential: state_{t} = T[sym_t, state_{t-1}].
+The ANS state chain is inherently sequential: state_t = T[sym_t, state_{t-1}].
 The reference breaks it with a sequential per-chunk state pre-pass on the GPU
 (reference src/cuda_zstd_fse_chunk_kernel.cuh:22-70, and the interleaved
 single-thread encoder at src/cuda_zstd_fse_encoding_kernel.cu:33). The
-TPU-native formulation used here exploits the tiny state space of the
-predefined tables (table_log <= 6, i.e. <= 64 states):
+TPU-native formulation exploits the tiny state space of the predefined tables
+(table_log <= 6, i.e. <= 64 states):
 
   Phase A (parallel over chunks): evolve ALL `table_size` possible entry
-          states through each chunk's symbols simultaneously — this computes
-          every chunk's composed transition function as a (chunks, states)
-          matrix in `chunk_len` vectorized steps.
-  Phase B (tiny sequential scan): thread the single real entry state through
-          the per-chunk composed functions (`num_chunks` scalar gathers).
-  Phase C (parallel over chunks): re-walk each chunk from its now-known entry
-          state to record the per-step pre-transition states.
+          states through each chunk's symbols simultaneously — each chunk's
+          composed transition function as a (chunks, states) matrix.
+  Phase B (tiny scan): thread the real entry state through the chunk functions.
+  Phase C (parallel over chunks): re-walk each chunk from its known entry
+          state, recording per-step pre-transition states.
 
-Bit emission is then fully parallel: per-sequence bit counts -> prefix sum ->
-scatter deposit (ops/bitpack.py). Everything is jittable with static shapes
-and vmaps over blocks.
+Table lookups inside the scans use one-hot multiply-reduce (VPU/MXU friendly;
+measured ~100M elem/s for XLA's generic gather on v5e vs effectively-free
+fused one-hot contractions). Bit emission is fully parallel: per-sequence
+fields packed into 3 bit-fields, prefix-summed offsets, scatter deposit
+(ops/bitpack.py). Everything is jittable with static shapes and vmaps over
+blocks.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -44,9 +43,11 @@ from ..constants import (
     OF_DEFAULT_NORM,
 )
 from ..format.fse import build_ctable
+from .bitpack import deposit_bits
 
 I32 = jnp.int32
 U32 = jnp.uint32
+F32 = jnp.float32
 
 CHUNK = 128  # sequences per chunk in the state pre-pass
 
@@ -55,7 +56,11 @@ CHUNK = 128  # sequences per chunk in the state pre-pass
 
 
 class EncTables:
-    """Dense (symbol, state) -> (next_state, nb_bits) transition tables."""
+    """Dense (symbol, state) -> (next_state, nb_bits) transition tables.
+
+    Stored as NUMPY so the module never pins device buffers at import;
+    jnp.asarray at use-sites (inside traces) inlines them as literals.
+    """
 
     def __init__(self, norm: np.ndarray, table_log: int):
         ct = build_ctable(norm, table_log)
@@ -76,15 +81,11 @@ class EncTables:
         self.table_log = table_log
         self.table_size = ts
         self.num_symbols = nsym
-        # Stored as NUMPY so the module never pins device buffers at import;
-        # jnp.asarray at use-sites (inside traces) inlines them as literals.
-        self.next_flat = nxt.reshape(-1).astype(np.int32)  # [sym*ts + state]
-        self.nb_flat = nb.reshape(-1).astype(np.int32)
-        self.init_state = init.astype(np.int32)
+        self.next2d = nxt.astype(np.int32)       # (nsym, ts)
+        self.nb2d = nb.astype(np.int32)          # (nsym, ts)
+        self.init_state = init.astype(np.int32)  # (nsym,)
 
 
-# Built eagerly at import (NOT lazily: constructing jnp constants inside a jit
-# trace and caching them would leak tracers across traces).
 _PREDEF_ENC = (
     EncTables(LL_DEFAULT_NORM, LL_DEFAULT_LOG),
     EncTables(OF_DEFAULT_NORM, OF_DEFAULT_LOG),
@@ -97,7 +98,30 @@ def predefined_enc_tables() -> tuple[EncTables, EncTables, EncTables]:
     return _PREDEF_ENC
 
 
-# --- Code mapping (value -> code), jnp versions of constants.ll_code etc. -----------
+# --- One-hot lookup helpers (gather-free small-table indexing) ----------------------
+
+
+def pick_rows(table2d: jax.Array, sym: jax.Array) -> jax.Array:
+    """rows[l] = table2d[sym[l]] via one-hot contraction. table2d: (S, K)."""
+    S = table2d.shape[0]
+    onehot = (sym[..., None] == jnp.arange(S, dtype=sym.dtype)).astype(F32)
+    return onehot @ table2d.astype(F32)  # (..., K) float32 (exact for < 2^24)
+
+
+def pick_cols(rows: jax.Array, idx: jax.Array) -> jax.Array:
+    """out[l] = rows[l, idx[l]] via one-hot multiply-reduce. rows: (..., K)."""
+    K = rows.shape[-1]
+    onehot = (idx[..., None] == jnp.arange(K, dtype=idx.dtype)).astype(F32)
+    return jnp.sum(rows * onehot, axis=-1)
+
+
+def lookup2d(table2d: np.ndarray, sym: jax.Array, idx: jax.Array) -> jax.Array:
+    """out[l] = table2d[sym[l], idx[l]], gather-free, int32."""
+    rows = pick_rows(jnp.asarray(table2d), sym)
+    return pick_cols(rows, idx).astype(I32)
+
+
+# --- Code mapping (value -> code) ---------------------------------------------------
 
 
 def highbit32_jnp(v: jax.Array) -> jax.Array:
@@ -111,26 +135,29 @@ def highbit32_jnp(v: jax.Array) -> jax.Array:
     return out
 
 
-_LL_CODE_J = LL_CODE_TABLE.astype(np.int32)
-_ML_CODE_J = ML_CODE_TABLE.astype(np.int32)
-_LL_BITS_J = LL_BITS.astype(np.int32)
-_ML_BITS_J = ML_BITS.astype(np.int32)
+def _small_lut(table: np.ndarray, idx: jax.Array) -> jax.Array:
+    """Lookup from a tiny (<=128) table via one-hot contraction."""
+    t = jnp.asarray(table.astype(np.int32))
+    onehot = (idx[..., None] == jnp.arange(t.shape[0], dtype=idx.dtype)).astype(F32)
+    return (onehot @ t.astype(F32)).astype(I32)
 
 
 def ll_code_jnp(ll: jax.Array) -> jax.Array:
     small = ll < 64
-    tab = jnp.asarray(_LL_CODE_J)
     return jnp.where(
-        small, tab[jnp.minimum(ll, 63)], LL_DELTA_CODE + highbit32_jnp(jnp.maximum(ll, 1))
+        small,
+        _small_lut(LL_CODE_TABLE, jnp.minimum(ll, 63)),
+        LL_DELTA_CODE + highbit32_jnp(jnp.maximum(ll, 1)),
     )
 
 
 def ml_code_jnp(ml: jax.Array) -> jax.Array:
     base = ml - 3
     small = base < 128
-    tab = jnp.asarray(_ML_CODE_J)
     return jnp.where(
-        small, tab[jnp.minimum(base, 127)], ML_DELTA_CODE + highbit32_jnp(jnp.maximum(base, 1))
+        small,
+        _small_lut(ML_CODE_TABLE, jnp.minimum(base, 127)),
+        ML_DELTA_CODE + highbit32_jnp(jnp.maximum(base, 1)),
     )
 
 
@@ -153,9 +180,9 @@ def _state_chain(tables: EncTables, rsym: jax.Array, nseq: jax.Array, max_seqs: 
     """
     ts = tables.table_size
     nc = max_seqs // CHUNK
-    t_next = jnp.asarray(tables.next_flat)
+    next2d = jnp.asarray(tables.next2d)
 
-    init = jnp.asarray(tables.init_state)[rsym[0]]
+    init = _small_lut(tables.init_state, rsym[0])
     # Step s consumes rsym[s+1]; lay steps out as (chunks, CHUNK).
     st_sym = jnp.roll(rsym, -1).reshape(nc, CHUNK)
     t_idx = jnp.arange(max_seqs, dtype=I32).reshape(nc, CHUNK)
@@ -164,7 +191,9 @@ def _state_chain(tables: EncTables, rsym: jax.Array, nseq: jax.Array, max_seqs: 
     # Phase A: per-chunk composed transition over all `ts` entry states.
     def stepA(states, inp):
         sym, valid = inp  # (nc,), (nc,)
-        nxt = t_next[sym[:, None] * ts + states]
+        rows = pick_rows(next2d, sym)  # (nc, ts): full transition row per chunk
+        onehot = (states[..., None] == jnp.arange(ts, dtype=I32)).astype(F32)
+        nxt = jnp.sum(rows[:, None, :] * onehot, axis=-1).astype(I32)  # (nc, ts)
         return jnp.where(valid[:, None], nxt, states), None
 
     all_states0 = jnp.broadcast_to(jnp.arange(ts, dtype=I32)[None, :], (nc, ts))
@@ -172,21 +201,22 @@ def _state_chain(tables: EncTables, rsym: jax.Array, nseq: jax.Array, max_seqs: 
 
     # Phase B: thread the real entry state through chunk functions.
     def stepB(state, fn_row):
-        return fn_row[state], state  # carry out pre-chunk entry state
+        nxt = pick_cols(fn_row.astype(F32), state).astype(I32)
+        return nxt, state
 
     final_state, entries = jax.lax.scan(stepB, init, chunk_fn)
 
     # Phase C: re-walk each chunk, recording pre-transition states.
     def stepC(states, inp):
         sym, valid = inp
-        nxt = t_next[sym * ts + states]
+        nxt = lookup2d(tables.next2d, sym, states)
         return jnp.where(valid, nxt, states), states
 
     _, pre_seq = jax.lax.scan(stepC, entries, (st_sym.T, st_valid.T))
-    # pre_seq is (CHUNK, nc): pre_seq[i, c] = state before step s = c*CHUNK + i,
-    # i.e. before consuming rsym[s+1]. Re-index to pre_states[t] for t = s+1.
-    pre_by_step = pre_seq.T.reshape(-1)  # [s] -> state before consuming rsym[s+1]
-    pre_states = jnp.roll(pre_by_step, 1)  # [t] -> state before consuming rsym[t]
+    # pre_seq is (CHUNK, nc): state before step s = c*CHUNK + i. Re-index to
+    # pre_states[t] = state before consuming rsym[t] (t = s+1).
+    pre_by_step = pre_seq.T.reshape(-1)
+    pre_states = jnp.roll(pre_by_step, 1)
     return pre_states, final_state
 
 
@@ -204,7 +234,7 @@ def encode_sequences_predefined(
     """Encode one block's sequences with the predefined FSE tables (mode 0).
 
     ll/ml/ob: (max_seqs,) int32 (entries >= nseq are ignored)
-    Returns (section_bytes[out_bytes_cap] uint8, section_len int32).
+    Returns (section_bytes[out_bytes_cap + 8] uint8, section_len int32).
     Emission order mirrors format/sequences.py:encode_sequences_bitstream
     (validated against stock libzstd).
     """
@@ -214,92 +244,87 @@ def encode_sequences_predefined(
     ml = ml.astype(I32)
     ob = ob.astype(I32)
 
-    llc = ll_code_jnp(ll)
-    mlc = ml_code_jnp(ml)
-    ofc = of_code_jnp(ob)
-    llb = jnp.asarray(_LL_BITS_J)[llc]
-    mlb = jnp.asarray(_ML_BITS_J)[mlc]
-    ofb = ofc
+    # Reverse to encoder order ONCE (flip + dynamic roll — no gathers):
+    # r_x[t] = x[nseq-1-t].
+    def rev(x):
+        return jnp.roll(jnp.flip(x), nseq - ms)
 
-    # Reversed (encoder-order) symbol streams: rsym[t] = code[nseq-1-t].
-    t_ar = jnp.arange(ms, dtype=I32)
-    k_of_t = jnp.clip(nseq - 1 - t_ar, 0, ms - 1)
-    r_llc = llc[k_of_t]
-    r_mlc = mlc[k_of_t]
-    r_ofc = ofc[k_of_t]
+    r_ll = rev(ll)
+    r_ml = rev(ml)
+    r_ob = rev(ob)
+    r_llc = ll_code_jnp(r_ll)
+    r_mlc = ml_code_jnp(r_ml)
+    r_ofc = of_code_jnp(r_ob)
+    r_llb = _small_lut(LL_BITS, r_llc)
+    r_mlb = _small_lut(ML_BITS, r_mlc)
+    r_ofb = r_ofc
 
     pre_ll, fin_ll = _state_chain(tl, r_llc, nseq, ms)
     pre_of, fin_of = _state_chain(to, r_ofc, nseq, ms)
     pre_ml, fin_ml = _state_chain(tm, r_mlc, nseq, ms)
 
-    # Per-step state bit counts/values (valid for 1 <= t < nseq).
+    # Per-step state bit counts and (pre-masked) values; valid for 1 <= t < nseq.
     def state_bits(tables: EncTables, pre, rsym):
-        nb = jnp.asarray(tables.nb_flat)[rsym * tables.table_size + pre]
-        val = tables.table_size + pre  # zstd emits the raw state value
+        nb = lookup2d(tables.nb2d, rsym, pre)
+        val = (tables.table_size + pre) & ((1 << nb.astype(U32)).astype(I32) - 1)
         return nb, val
 
     nb_ll, v_ll = state_bits(tl, pre_ll, r_llc)
     nb_of, v_of = state_bits(to, pre_of, r_ofc)
     nb_ml, v_ml = state_bits(tm, pre_ml, r_mlc)
 
+    t_ar = jnp.arange(ms, dtype=I32)
     is_step = (t_ar >= 1) & (t_ar < nseq)
     is_seq = t_ar < nseq
 
-    # Emission layout per t: [OF state, ML state, LL state, LL extra, ML extra, OF extra]
-    lens = jnp.stack(
-        [
-            jnp.where(is_step, nb_of, 0),
-            jnp.where(is_step, nb_ml, 0),
-            jnp.where(is_step, nb_ll, 0),
-            jnp.where(is_seq, llb[k_of_t], 0),
-            jnp.where(is_seq, mlb[k_of_t], 0),
-            jnp.where(is_seq, ofb[k_of_t], 0),
-        ],
-        axis=1,
-    ).reshape(-1)
-    vals = jnp.stack(
-        [v_of, v_ml, v_ll, ll[k_of_t], ml[k_of_t] - 3, ob[k_of_t]],
-        axis=1,
-    ).reshape(-1)
+    # Three packed fields per t (write order: OF,ML,LL state bits; LL,ML,OF extra):
+    mask = lambda v, b: v & ((U32(1) << b.astype(U32)) - U32(1)).astype(I32)
+    f1 = v_of | (v_ml << nb_of) | (v_ll << (nb_of + nb_ml))
+    l1 = jnp.where(is_step, nb_of + nb_ml + nb_ll, 0)
+    f2 = mask(r_ll, r_llb) | (mask(r_ml - 3, r_mlb) << r_llb)
+    l2 = jnp.where(is_seq, r_llb + r_mlb, 0)
+    f3 = mask(r_ob, r_ofb)
+    l3 = jnp.where(is_seq, r_ofb, 0)
 
-    # Tail: flush ML, OF, LL states (table_log bits each; value = state index),
-    # then the sentinel 1-bit.
+    lens = jnp.stack([l1, l2, l3], axis=1).reshape(-1)
+    vals = jnp.stack([f1, f2, f3], axis=1).reshape(-1)
+
+    # Tail: flush ML, OF, LL states (table_log bits each) + sentinel 1-bit.
     has = (nseq > 0).astype(I32)
-    tail_lens = jnp.stack(
-        [has * tm.table_log, has * to.table_log, has * tl.table_log, has]
+    tail_val = (
+        fin_ml
+        | (fin_of << tm.table_log)
+        | (fin_ll << (tm.table_log + to.table_log))
+        | (1 << (tm.table_log + to.table_log + tl.table_log))
     )
-    tail_vals = jnp.stack([fin_ml, fin_of, fin_ll, jnp.ones((), I32)])
+    tail_len = has * (tm.table_log + to.table_log + tl.table_log + 1)
 
-    all_lens = jnp.concatenate([lens, tail_lens])
-    all_vals = jnp.concatenate([vals, tail_vals]).astype(U32)
+    all_lens = jnp.concatenate([lens, tail_len[None]])
+    all_vals = jnp.concatenate([vals, tail_val[None]]).astype(U32)
 
     num_words = out_bytes_cap // 4
-    from .bitpack import deposit_bits
-
     words, total_bits = deposit_bits(all_vals, all_lens, num_words)
     stream_bytes = (total_bits + 7) >> 3
 
     # Section header: nbSeq varint + mode byte (predefined = 0x00).
     b0 = jnp.where(
-        nseq < 128,
-        nseq,
-        jnp.where(nseq < 0x7F00, (nseq >> 8) + 0x80, 255),
+        nseq < 128, nseq, jnp.where(nseq < 0x7F00, (nseq >> 8) + 0x80, 255)
     )
     b1 = jnp.where(nseq < 0x7F00, nseq & 0xFF, (nseq - 0x7F00) & 0xFF)
     b2 = ((nseq - 0x7F00) >> 8) & 0xFF
-    hdr_len = jnp.where(nseq < 128, 1, jnp.where(nseq < 0x7F00, 2, 3)) + has  # + mode byte
-    # hdr bytes array (4 slots; mode byte position depends on varint width)
-    hdr = jnp.zeros(4, dtype=I32)
-    hdr = hdr.at[0].set(b0)
-    hdr = hdr.at[1].set(jnp.where(nseq < 128, 0, b1))
-    hdr = hdr.at[2].set(jnp.where(nseq < 0x7F00, 0, b2))
-    # mode byte (0) is already 0 at hdr[hdr_len-1]; nseq==0 -> single 0x00 byte.
+    hdr_len = jnp.where(nseq < 128, 1, jnp.where(nseq < 0x7F00, 2, 3)) + has
+    hdr = jnp.zeros(4, dtype=jnp.uint8)
+    hdr = hdr.at[0].set(b0.astype(jnp.uint8))
+    hdr = hdr.at[1].set(jnp.where(nseq < 128, 0, b1).astype(jnp.uint8))
+    hdr = hdr.at[2].set(jnp.where(nseq < 0x7F00, 0, b2).astype(jnp.uint8))
+    # (mode byte 0x00 is already zero at position hdr_len-1)
 
-    j = jnp.arange(out_bytes_cap, dtype=I32)
-    sj = j - hdr_len
-    stream_byte = (
-        words[jnp.clip(sj >> 2, 0, num_words - 1)] >> (U32(8) * (sj & 3).astype(U32))
-    ) & U32(0xFF)
-    out = jnp.where(j < hdr_len, hdr[jnp.clip(j, 0, 3)], stream_byte.astype(I32))
+    # Assemble: header at 0, stream bytes at hdr_len (sequential writes only).
+    w = words[:, None]
+    shifts = jnp.arange(4, dtype=U32) * U32(8)
+    stream = ((w >> shifts[None, :]) & U32(0xFF)).reshape(-1).astype(jnp.uint8)
+    out = jnp.zeros(out_bytes_cap + 8, dtype=jnp.uint8)
+    out = jax.lax.dynamic_update_slice(out, hdr, (0,))
+    out = jax.lax.dynamic_update_slice(out, stream, (hdr_len,))
     section_len = hdr_len + has * stream_bytes
-    return out.astype(jnp.uint8), section_len
+    return out, section_len

@@ -1,26 +1,30 @@
-"""TPU-parallel LZ77 match finding + greedy parse for one block.
+"""TPU-parallel LZ77 match finding + greedy parse for one block (v2).
 
 Re-design of the reference's per-thread hash-chain kernels
 (reference src/lz77_parallel.cu:26 `find_matches_kernel` — atomicExch hash-table
 inserts + bounded chain walks; :177 `greedy_parse_kernel`; :207
-`build_sequences_gpu_kernel` single-thread run-length scan) for a vector
-machine with no atomics:
+`build_sequences_gpu_kernel`) for a vector machine with no atomics and *slow
+random access*. Measured on TPU v5e: XLA sort moves ~330M rows/s regardless of
+operand count, while generic gather/scatter does ~100-130M elem/s — so this
+pipeline is built around sorts that CARRY payloads and scans over the static
+axis, with only small compaction scatters:
 
-- previous-occurrence search: stable sort of (hash, position); the D nearest
-  previous positions with the same hash are the D preceding rows of the sorted
-  array (== a depth-D hash chain, but race-free and fully parallel).
-- match lengths: 4-byte-word gather/XOR compares, capped at `cap` bytes.
-- greedy parse: next[] pointer jumping — log2(N) scatter-max rounds of mark
-  propagation replace the reference's sequential scan.
-- long matches: adjacent parse steps that continue the same offset are merged
-  with a segmented sum, recovering full-length matches beyond the cap.
-- repcodes: rep0 reuse (offset == previous sequence's offset, lit_length > 0)
-  is detected with a shift — no sequential rep-history walk (the TPU encoder
-  only ever emits {rep0, literal offset}, which keeps the decoder's rep state
-  trivially predictable; see format/sequences.py:encode_offset for the full
-  host-side rule).
-
-All shapes static; everything vmaps over blocks.
+- previous-occurrence search: stable sort of (hash, pos, w0..w7) — the suffix's
+  first 32 bytes ride through the sort, so depth-D chain candidates are the D
+  preceding sorted rows and match lengths are XOR compares of shifted operands
+  (zero gathers).
+- back to position order: a second sort keyed by position (cheaper than an
+  N-element scatter).
+- greedy parse: matches are truncated at SEG-byte boundaries, making segments
+  independent; one lax.scan over the SEG axis (elementwise over B x N/SEG
+  lanes) reproduces the sequential greedy walk exactly. Literal coverage falls
+  out of the same scan.
+- sequence extraction / literal compaction: compaction-via-sort (key pushes
+  non-selected rows to the end).
+- long matches: contiguous same-offset sequences merged with a segmented sum
+  (recovers matches beyond the compare cap and across segment boundaries).
+- repcodes: rep0 reuse detected with a shift (see format/sequences.py
+  encode_offset for the host-side full-history rule).
 """
 
 from __future__ import annotations
@@ -34,6 +38,8 @@ I32 = jnp.int32
 U32 = jnp.uint32
 
 HASH_PRIME = 2654435761
+SEG_LOG = 10  # greedy-parse segment (1024 bytes)
+SEG = 1 << SEG_LOG
 
 
 class BlockSequences(NamedTuple):
@@ -44,12 +50,12 @@ class BlockSequences(NamedTuple):
     ob: jax.Array        # (MS,) int32 offset-base values (off+3 or repcode 1)
     starts: jax.Array    # (MS,) int32 match start positions
     nseq: jax.Array      # () int32
-    is_lit: jax.Array    # (N,) bool literal mask over block positions
+    lits: jax.Array      # (N,) uint8 literal bytes, compacted to the front
     nlit: jax.Array      # () int32 total literal count (== n - sum(ml))
 
 
-def _hash_words(block: jax.Array, n: jax.Array, hash_log: int) -> tuple[jax.Array, jax.Array]:
-    """4-byte words + Fibonacci hashes per position (positions >= n-3 invalid)."""
+def _hash_words(block: jax.Array, hash_log: int) -> tuple[jax.Array, jax.Array]:
+    """4-byte words + Fibonacci hashes per position."""
     b = block.astype(U32)
     w = (
         b
@@ -61,51 +67,91 @@ def _hash_words(block: jax.Array, n: jax.Array, hash_log: int) -> tuple[jax.Arra
     return w, h.astype(I32)
 
 
-def _candidates(h: jax.Array, n: jax.Array, depth: int) -> jax.Array:
-    """(N, depth) previous positions sharing each position's hash (-1 = none).
+def _word_inc(x: jax.Array) -> jax.Array:
+    """Matched byte count (0..4) from the XOR of two 4-byte LE words."""
+    return jnp.where(
+        x == 0,
+        4,
+        ((x & U32(0xFF)) == 0).astype(I32)
+        + ((x & U32(0xFFFF)) == 0).astype(I32)
+        + ((x & U32(0xFFFFFF)) == 0).astype(I32),
+    )
 
-    Column d is the (d+1)-th most recent previous occurrence, so column 0 has
-    the smallest offset.
+
+def find_matches(
+    block: jax.Array, n: jax.Array, *, hash_log: int, depth: int, cap: int
+) -> tuple[jax.Array, jax.Array]:
+    """Best (capped) match per position: returns (best_ml, best_off), pos order.
+
+    Ties prefer the smallest offset (the most recent previous occurrence),
+    which keeps offsets repcode-friendly and lets the merge pass re-join
+    truncated long matches.
     """
-    N = h.shape[0]
+    N = block.shape[0]
+    nwords = cap // 4
     pos = jnp.arange(N, dtype=I32)
-    key = jnp.where(pos < n - 3, h, jnp.iinfo(jnp.int32).max)
-    sk, sp = jax.lax.sort((key, pos), num_keys=1, is_stable=True)
-    cols = []
+    w, h = _hash_words(block, hash_log)
+    big = jnp.iinfo(jnp.int32).max
+    key = jnp.where(pos < n - 3, h, big)
+
+    ops = [key, pos] + [jnp.roll(w, -4 * k).astype(I32) for k in range(nwords)]
+    sorted_ops = jax.lax.sort(tuple(ops), num_keys=1, is_stable=True)
+    sk, sp = sorted_ops[0], sorted_ops[1]
+    sw = sorted_ops[2:]
+
+    best_ml = jnp.zeros(N, dtype=I32)
+    best_off = jnp.zeros(N, dtype=I32)
     for d in range(1, depth + 1):
-        psk = jnp.roll(sk, d).at[:d].set(-1)
-        psp = jnp.roll(sp, d).at[:d].set(-1)
-        cols.append(jnp.where(psk == sk, psp, -1))
-    cand_sorted = jnp.stack(cols, axis=1)
-    return jnp.zeros((N, depth), dtype=I32).at[sp].set(cand_sorted)
+        pk = jnp.roll(sk, d).at[:d].set(big - 1)
+        pp = jnp.roll(sp, d).at[:d].set(0)
+        same = (pk == sk) & (sk != big)
+        ml = jnp.zeros(N, dtype=I32)
+        alive = same
+        for k in range(nwords):
+            x = sw[k].astype(U32) ^ jnp.roll(sw[k], d).astype(U32)
+            inc = _word_inc(x)
+            ml = ml + jnp.where(alive, inc, 0)
+            alive = alive & (x == 0)
+        better = ml > best_ml
+        best_ml = jnp.where(better, ml, best_ml)
+        best_off = jnp.where(better, sp - pp, best_off)
+
+    # Clamp to block end (also cancels false matches into rolled-around words).
+    best_ml = jnp.minimum(best_ml, jnp.maximum(n - sp, 0))
+
+    # Return to position order by sorting on position.
+    _, oml, ooff = jax.lax.sort((sp, best_ml, best_off), num_keys=1, is_stable=True)
+    return oml, ooff
 
 
-def _capped_matchlen(
-    words_pad: jax.Array, pos: jax.Array, cand: jax.Array, n: jax.Array, cap: int
-) -> jax.Array:
-    """Common-prefix length of block[pos:] vs block[cand:], capped at `cap`.
+def greedy_parse(
+    step: jax.Array, matched: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Exact greedy parse via one scan over segment-local position index.
 
-    words_pad is the 4-byte word array padded with `cap` zero words so gathers
-    past the block stay in range; lengths are clamped to n - pos afterwards,
-    which also cancels any false matches into the zero padding.
+    step[i]: parse advance at i (match length if taken, else 1), already
+    truncated so i + step[i] never crosses a SEG boundary.
+    Returns (is_seq (N,), is_lit (N,)) in position order.
     """
-    ml = jnp.zeros(pos.shape, dtype=I32)
-    alive = cand >= 0
-    safe_cand = jnp.maximum(cand, 0)
-    for k in range(cap // 4):
-        wi = words_pad[pos + 4 * k]
-        wj = words_pad[safe_cand + 4 * k]
-        x = wi ^ wj
-        inc = jnp.where(
-            x == 0,
-            4,
-            ((x & U32(0xFF)) == 0).astype(I32)
-            + ((x & U32(0xFFFF)) == 0).astype(I32)
-            + ((x & U32(0xFFFFFF)) == 0).astype(I32),
-        )
-        ml = ml + jnp.where(alive, inc, 0)
-        alive = alive & (x == 0)
-    return jnp.minimum(ml, jnp.maximum(n - pos, 0))
+    N = step.shape[0]
+    nseg = N // SEG
+    st = step.reshape(nseg, SEG).T          # (SEG, nseg)
+    mt = matched.reshape(nseg, SEG).T
+
+    def body(carry, xs):
+        na, me = carry                       # next-allowed, match-end (per segment)
+        p, (stp, m) = xs
+        is_pp = na == p
+        take = is_pp & m
+        new_me = jnp.where(take, p + stp, me)
+        new_na = jnp.where(is_pp, p + stp, na)
+        is_lit = p >= new_me
+        return (new_na, new_me), (is_pp & m, is_lit)
+
+    p_idx = jnp.arange(SEG, dtype=I32)
+    init = (jnp.zeros(nseg, I32), jnp.zeros(nseg, I32))
+    _, (is_seq_t, is_lit_t) = jax.lax.scan(body, init, (p_idx, (st, mt)))
+    return is_seq_t.T.reshape(-1), is_lit_t.T.reshape(-1)
 
 
 def parse_block(
@@ -121,77 +167,70 @@ def parse_block(
     """Greedy-parse one (padded) block into sequences. block: (N,) uint8/int32."""
     N = block.shape[0]
     pos = jnp.arange(N, dtype=I32)
-    words, h = _hash_words(block, n, hash_log)
-    words_pad = jnp.concatenate([words, jnp.zeros(cap + 4, dtype=U32)])
 
-    cand = _candidates(h, n, depth)
+    bml, boff = find_matches(block, n, hash_log=hash_log, depth=depth, cap=cap)
 
-    # Best match per position: smallest offset wins ties (column 0 first).
-    best_ml = jnp.zeros(N, dtype=I32)
-    best_j = jnp.full(N, -1, dtype=I32)
-    for d in range(depth):
-        ml_d = _capped_matchlen(words_pad, pos, cand[:, d], n, cap)
-        better = ml_d > best_ml
-        best_ml = jnp.where(better, ml_d, best_ml)
-        best_j = jnp.where(better, cand[:, d], best_j)
+    # Truncate matches at segment boundaries so segments parse independently;
+    # the merge pass below re-joins same-offset continuations.
+    room = SEG - (pos & (SEG - 1))
+    ml_t = jnp.minimum(bml, room)
+    matched = (ml_t >= min_match) & (boff > 0) & (pos < n)
+    step = jnp.where(matched, ml_t, 1)
 
-    matched = (best_ml >= min_match) & (best_j >= 0) & (pos < n)
-    step = jnp.where(matched, best_ml, 1)
-
-    # Greedy parse: pointer-jumping mark propagation from position 0.
-    hop = jnp.concatenate([jnp.minimum(pos + step, N), jnp.array([N], dtype=I32)])
-    mark = jnp.zeros(N + 1, dtype=I32).at[0].set(1)
-    for _ in range(int(N).bit_length() + 1):
-        prop = jnp.zeros(N + 1, dtype=I32).at[hop].max(mark, mode="drop")
-        mark = jnp.maximum(mark, prop)
-        hop = hop[hop]
-
-    is_seq = (mark[:N] == 1) & matched
-    rank = jnp.cumsum(is_seq.astype(I32)) - 1
+    is_seq, is_lit = greedy_parse(step, matched)
+    is_seq = is_seq & (pos < n)
+    is_lit = is_lit & (pos < n)
     nseq = jnp.sum(is_seq.astype(I32))
 
-    sidx = jnp.where(is_seq, rank, max_seqs)
-    starts = jnp.zeros(max_seqs, dtype=I32).at[sidx].set(pos, mode="drop")
-    mls = jnp.zeros(max_seqs, dtype=I32).at[sidx].set(best_ml, mode="drop")
-    offs = jnp.zeros(max_seqs, dtype=I32).at[sidx].set(pos - best_j, mode="drop")
-
+    # Extraction via compaction-sort (selected rows first, in position order).
+    sel_key = jnp.where(is_seq, pos, N)
+    _, e_pos, e_ml, e_off = jax.lax.sort(
+        (sel_key, pos, ml_t, boff), num_keys=1, is_stable=True
+    )
+    starts = e_pos[:max_seqs]
+    mls = e_ml[:max_seqs]
+    offs = e_off[:max_seqs]
     k = jnp.arange(max_seqs, dtype=I32)
     valid = k < nseq
+    starts = jnp.where(valid, starts, 0)
+    mls = jnp.where(valid, mls, 0)
+    offs = jnp.where(valid, offs, 0)
+
     ends = starts + mls
     prev_end = jnp.roll(ends, 1).at[0].set(0)
     lls = jnp.where(valid, starts - prev_end, 0)
 
-    # Merge contiguous same-offset sequences (recovers matches beyond `cap`).
+    # Merge contiguous same-offset sequences (recovers matches beyond `cap`
+    # and across segment boundaries).
     prev_off = jnp.roll(offs, 1).at[0].set(0)
     cont = valid & (k > 0) & (lls == 0) & (offs == prev_off) & (offs > 0)
     head = valid & ~cont
-    seg = jnp.cumsum(head.astype(I32)) - 1
-    seg_ml = jax.ops.segment_sum(
-        jnp.where(valid, mls, 0), jnp.where(valid, seg, max_seqs - 1), num_segments=max_seqs
-    )
-    rank2 = jnp.cumsum(head.astype(I32)) - 1
-    midx = jnp.where(head, rank2, max_seqs)
     nseq2 = jnp.sum(head.astype(I32))
-    hrank = jnp.cumsum(head.astype(I32)) - 1  # segment id of each head == its rank
-    ll2 = jnp.zeros(max_seqs, dtype=I32).at[midx].set(lls, mode="drop")
-    ml2 = jnp.zeros(max_seqs, dtype=I32).at[midx].set(seg_ml[hrank], mode="drop")
-    off2 = jnp.zeros(max_seqs, dtype=I32).at[midx].set(offs, mode="drop")
-    starts2 = jnp.zeros(max_seqs, dtype=I32).at[midx].set(starts, mode="drop")
-
-    # Offset-base values: rep0 when the offset repeats with literals in between.
+    seg_id = jnp.cumsum(head.astype(I32)) - 1
+    seg_ml = jax.ops.segment_sum(
+        jnp.where(valid, mls, 0), jnp.where(valid, seg_id, max_seqs - 1),
+        num_segments=max_seqs,
+    )
+    mkey = jnp.where(head, k, max_seqs)
+    _, m_ll, m_off, m_start = jax.lax.sort(
+        (mkey, lls, offs, starts), num_keys=1, is_stable=True
+    )
     k2 = jnp.arange(max_seqs, dtype=I32)
     valid2 = k2 < nseq2
+    ll2 = jnp.where(valid2, m_ll, 0)
+    off2 = jnp.where(valid2, m_off, 0)
+    starts2 = jnp.where(valid2, m_start, 0)
+    ml2 = jnp.where(valid2, seg_ml, 0)  # segment sums are already head-ordered
+
+    # Offset-base values: rep0 when the offset repeats with literals in between.
     prev_off2 = jnp.roll(off2, 1).at[0].set(1)  # initial rep[0] == 1
     use_rep0 = valid2 & (ll2 > 0) & (off2 == prev_off2)
     ob = jnp.where(valid2, jnp.where(use_rep0, 1, off2 + 3), 0)
 
-    # Literal mask from match coverage.
-    cov_idx = jnp.where(valid2, starts2, N)
-    cov = jnp.zeros(N + 1, dtype=I32).at[cov_idx].add(jnp.where(valid2, 1, 0), mode="drop")
-    cov_end = jnp.where(valid2, starts2 + ml2, N)
-    cov = cov.at[cov_end].add(jnp.where(valid2, -1, 0), mode="drop")
-    inside = jnp.cumsum(cov[:N]) > 0
-    is_lit = ~inside & (pos < n)
+    # Literal compaction via sort.
     nlit = jnp.sum(is_lit.astype(I32))
+    lkey = jnp.where(is_lit, pos, N)
+    _, lits = jax.lax.sort((lkey, block.astype(I32)), num_keys=1, is_stable=True)
+    lits = lits.astype(jnp.uint8)
 
-    return BlockSequences(ll2, ml2, ob, starts2, nseq2, is_lit, nlit)
+    return BlockSequences(ll2, ml2, ob, starts2, nseq2, lits, nlit)

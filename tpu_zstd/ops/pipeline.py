@@ -71,23 +71,19 @@ def _compress_one_block(block: jax.Array, n: jax.Array, cfg: PipelineConfig):
         cap=cfg.cap,
         min_match=cfg.min_match,
     )
-
-    # Literal compaction: gather uncovered bytes to the front.
-    lit_rank = jnp.cumsum(seqs.is_lit.astype(I32)) - 1
-    lidx = jnp.where(seqs.is_lit, lit_rank, N)
-    lits = jnp.zeros(N, dtype=jnp.uint8).at[lidx].set(block.astype(jnp.uint8), mode="drop")
     nlit = seqs.nlit
 
     # Raw literals section header (RFC 8878 §3.1.1.3.1.1).
     lit_hdr_len = jnp.where(nlit < 32, 1, jnp.where(nlit < 4096, 2, 3))
     v2 = (nlit << 4) | (1 << 2)
     v3 = (nlit << 4) | (3 << 2)
-    lh = jnp.zeros(3, dtype=I32)
-    lh = lh.at[0].set(
-        jnp.where(nlit < 32, nlit << 3, jnp.where(nlit < 4096, v2 & 0xFF, v3 & 0xFF))
-    )
-    lh = lh.at[1].set(jnp.where(nlit < 4096, (v2 >> 8) & 0xFF, (v3 >> 8) & 0xFF))
-    lh = lh.at[2].set((v3 >> 16) & 0xFF)
+    lh = jnp.stack(
+        [
+            jnp.where(nlit < 32, nlit << 3, jnp.where(nlit < 4096, v2 & 0xFF, v3 & 0xFF)),
+            jnp.where(nlit < 4096, (v2 >> 8) & 0xFF, (v3 >> 8) & 0xFF),
+            (v3 >> 16) & 0xFF,
+        ]
+    ).astype(jnp.uint8)
 
     seq_bytes, seq_len = encode_sequences_predefined(
         seqs.ll, seqs.ml, seqs.ob, seqs.nseq, cfg.max_seqs, cfg.seq_cap
@@ -104,21 +100,21 @@ def _compress_one_block(block: jax.Array, n: jax.Array, cfg: PipelineConfig):
     btype = jnp.where(is_rle, BLOCK_RLE, jnp.where(is_comp, BLOCK_COMPRESSED, BLOCK_RAW))
     content_len = jnp.where(is_rle, 1, jnp.where(is_comp, body_len, n))
 
-    # Gather-based assembly of the compressed body.
-    j = jnp.arange(N, dtype=I32)
-    in_lit_hdr = j < lit_hdr_len
-    in_lits = j < lit_sec_len
-    lj = jnp.clip(j - lit_hdr_len, 0, N - 1)
-    sj = jnp.clip(j - lit_sec_len, 0, cfg.seq_cap - 1)
-    comp_byte = jnp.where(
-        in_lit_hdr,
-        lh[jnp.clip(j, 0, 2)].astype(jnp.uint8),
-        jnp.where(in_lits, lits[lj], seq_bytes[sj]),
-    )
+    # Sequential-access assembly: right-align the 1-3 byte literals header in a
+    # 3-byte slot, then slice so the header's true bytes abut the literals; the
+    # literal padding tail is overwritten by the sequences section at its true
+    # offset (anything past body_len is unused).
+    hdr6 = jax.lax.dynamic_update_slice(jnp.zeros(6, jnp.uint8), lh, (3 - lit_hdr_len,))
+    litsec_full = jnp.concatenate([hdr6[:3], seqs.lits, jnp.zeros(3, jnp.uint8)])
+    litsec = jax.lax.dynamic_slice(litsec_full, (3 - lit_hdr_len,), (N + 3,))
+    body = jnp.zeros(N + cfg.seq_cap + 16, dtype=jnp.uint8)
+    body = jax.lax.dynamic_update_slice(body, litsec, (0,))
+    body = jax.lax.dynamic_update_slice(body, seq_bytes, (lit_sec_len,))
+
     content = jnp.where(
         is_rle,
         jnp.broadcast_to(block[0], (N,)).astype(jnp.uint8),
-        jnp.where(is_comp, comp_byte, block.astype(jnp.uint8)),
+        jnp.where(is_comp, body[:N], block.astype(jnp.uint8)),
     )
     return content, content_len, btype
 
