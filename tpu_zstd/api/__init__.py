@@ -1,0 +1,52 @@
+"""Public API package: managers, hybrid engine, config, status codes.
+
+Mirrors the reference's L0 surface (reference include/cuda_zstd_manager.h,
+include/cuda_zstd_hybrid.h, python/cuda_zstd/__init__.py)."""
+
+from .config import (
+    ChecksumPolicy,
+    CompressionConfig,
+    CompressionStats,
+    ExecutionPath,
+    Status,
+    Strategy,
+    estimate_compressed_size,
+)
+from .hybrid import (
+    Backend,
+    DataLocation,
+    HybridConfig,
+    HybridEngine,
+    HybridResult,
+    RoutingMode,
+    detect_location,
+)
+from .manager import (
+    BatchItem,
+    BatchManager,
+    Manager,
+    StreamingManager,
+    compress_items_tpu,
+)
+
+__all__ = [
+    "Backend",
+    "BatchItem",
+    "BatchManager",
+    "ChecksumPolicy",
+    "CompressionConfig",
+    "CompressionStats",
+    "DataLocation",
+    "ExecutionPath",
+    "HybridConfig",
+    "HybridEngine",
+    "HybridResult",
+    "Manager",
+    "RoutingMode",
+    "Status",
+    "Strategy",
+    "StreamingManager",
+    "compress_items_tpu",
+    "detect_location",
+    "estimate_compressed_size",
+]

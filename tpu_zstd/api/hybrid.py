@@ -1,0 +1,201 @@
+"""HybridEngine: automatic CPU/TPU routing with profiling feedback.
+
+TPU-native counterpart of the reference's hybrid layer
+(reference include/cuda_zstd_hybrid.h:73-240, src/cuda_zstd_hybrid.cu:142-745):
+`decide_route` reproduces the AUTO matrix (hybrid.cu:196-328) in terms of
+host/device-resident numpy/jax arrays; ADAPTIVE keeps a rolling throughput
+history per backend with the same 1.2x switching hysteresis (hybrid.cu:216-236).
+The CPU backend is libzstd via the `zstandard` package (the same role libzstd
+plays in the reference, CMakeLists.txt:31-32).
+"""
+
+from __future__ import annotations
+
+import enum
+import time
+from collections import deque
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .config import CompressionConfig, Status
+
+
+class Backend(enum.IntEnum):
+    CPU_LIBZSTD = 0
+    TPU_KERNELS = 1
+
+
+class RoutingMode(enum.IntEnum):
+    AUTO = 0
+    FORCE_CPU = 1
+    FORCE_TPU = 2
+    ADAPTIVE = 3
+
+
+class DataLocation(enum.IntEnum):
+    UNKNOWN = 0
+    HOST = 1
+    DEVICE = 2
+
+
+@dataclass
+class HybridConfig:
+    """Routing thresholds (reference types.h:358-385)."""
+
+    mode: RoutingMode = RoutingMode.AUTO
+    tpu_batch_threshold: int = 4 << 20   # host-resident data below this -> CPU
+    tpu_device_threshold: int = 64 << 10  # device-resident data >= this -> TPU
+    adaptive_history: int = 16
+    adaptive_hysteresis: float = 1.2
+    enable_profiling: bool = True
+    level: int = 3
+
+
+@dataclass
+class HybridResult:
+    """Per-call breakdown (reference types.h:392-425)."""
+
+    backend: Backend = Backend.CPU_LIBZSTD
+    routing_reason: str = ""
+    total_time_s: float = 0.0
+    compute_time_s: float = 0.0
+    transfer_time_s: float = 0.0
+    input_size: int = 0
+    output_size: int = 0
+
+    @property
+    def throughput_mbps(self) -> float:
+        return self.input_size / self.total_time_s / 1e6 if self.total_time_s else 0.0
+
+
+def detect_location(data) -> DataLocation:
+    """Pointer-attribute probing (reference hybrid.cu:334-355) becomes type
+    probing: jax.Array committed to a TPU device counts as DEVICE."""
+    try:
+        import jax
+
+        if isinstance(data, jax.Array):
+            if any(d.platform != "cpu" for d in data.devices()):
+                return DataLocation.DEVICE
+            return DataLocation.HOST
+    except Exception:
+        pass
+    if isinstance(data, (bytes, bytearray, memoryview, np.ndarray)):
+        return DataLocation.HOST
+    return DataLocation.UNKNOWN
+
+
+class HybridEngine:
+    """Routes each call to libzstd (CPU) or the TPU pipeline."""
+
+    def __init__(self, config: HybridConfig | None = None,
+                 compression: CompressionConfig | None = None):
+        self.config = config or HybridConfig()
+        self.compression = compression or CompressionConfig.from_level(self.config.level)
+        self._history: dict[Backend, deque[float]] = {
+            Backend.CPU_LIBZSTD: deque(maxlen=self.config.adaptive_history),
+            Backend.TPU_KERNELS: deque(maxlen=self.config.adaptive_history),
+        }
+
+    # -- routing --------------------------------------------------------------
+    def decide_route(self, size: int, location: DataLocation, is_compress: bool) -> tuple[Backend, str]:
+        mode = self.config.mode
+        if mode == RoutingMode.FORCE_CPU:
+            return Backend.CPU_LIBZSTD, "forced CPU"
+        if mode == RoutingMode.FORCE_TPU:
+            return Backend.TPU_KERNELS, "forced TPU"
+        if mode == RoutingMode.ADAPTIVE:
+            cpu_avg = self._avg(Backend.CPU_LIBZSTD)
+            tpu_avg = self._avg(Backend.TPU_KERNELS)
+            if cpu_avg and tpu_avg:
+                if tpu_avg > cpu_avg * self.config.adaptive_hysteresis:
+                    return Backend.TPU_KERNELS, f"adaptive: TPU {tpu_avg:.0f} > CPU {cpu_avg:.0f} MB/s"
+                return Backend.CPU_LIBZSTD, f"adaptive: CPU {cpu_avg:.0f} MB/s wins"
+            # fall through to AUTO until both backends have samples
+        if location == DataLocation.DEVICE:
+            if size >= self.config.tpu_device_threshold:
+                return Backend.TPU_KERNELS, "device-resident data stays on TPU"
+            return Backend.TPU_KERNELS, "device-resident small data (avoid transfer)"
+        if size >= self.config.tpu_batch_threshold:
+            return Backend.TPU_KERNELS, "large host buffer: TPU batch path"
+        return Backend.CPU_LIBZSTD, "small host buffer: CPU faster than transfer"
+
+    def _avg(self, backend: Backend) -> float:
+        h = self._history[backend]
+        return sum(h) / len(h) if h else 0.0
+
+    # -- operations -----------------------------------------------------------
+    def compress(self, data, result: HybridResult | None = None) -> bytes:
+        res = result if result is not None else HybridResult()
+        t0 = time.perf_counter()
+        loc = detect_location(data)
+        raw = _to_bytes(data)
+        backend, reason = self.decide_route(len(raw), loc, True)
+        t1 = time.perf_counter()
+        if backend == Backend.CPU_LIBZSTD:
+            out = self._cpu_compress(raw)
+        else:
+            out = self._tpu_compress(raw)
+        t2 = time.perf_counter()
+        res.backend, res.routing_reason = backend, reason
+        res.transfer_time_s = t1 - t0
+        res.compute_time_s = t2 - t1
+        res.total_time_s = t2 - t0
+        res.input_size, res.output_size = len(raw), len(out)
+        if self.config.enable_profiling and res.total_time_s > 0:
+            self._history[backend].append(len(raw) / res.total_time_s / 1e6)
+        return out
+
+    def decompress(self, data, max_output_size: int | None = None,
+                   result: HybridResult | None = None) -> bytes:
+        res = result if result is not None else HybridResult()
+        t0 = time.perf_counter()
+        raw = _to_bytes(data)
+        backend, reason = Backend.CPU_LIBZSTD, "decompress: CPU path"
+        from .manager import _decompress_host
+
+        out = _decompress_host(raw, max_output_size)
+        res.backend, res.routing_reason = backend, reason
+        res.total_time_s = res.compute_time_s = time.perf_counter() - t0
+        res.input_size, res.output_size = len(raw), len(out)
+        return out
+
+    def compress_batch(self, items: list) -> list[bytes]:
+        raws = [_to_bytes(d) for d in items]
+        total = sum(len(r) for r in raws)
+        backend, _ = self.decide_route(total, DataLocation.HOST, True)
+        if backend == Backend.TPU_KERNELS:
+            from .manager import compress_items_tpu
+
+            return compress_items_tpu(raws, self.compression)
+        return [self._cpu_compress(r) for r in raws]
+
+    # -- backends -------------------------------------------------------------
+    def _cpu_compress(self, data: bytes) -> bytes:
+        import zstandard
+
+        c = zstandard.ZstdCompressor(level=self.compression.level)
+        return c.compress(data)
+
+    def _tpu_compress(self, data: bytes) -> bytes:
+        from .manager import compress_items_tpu
+
+        return compress_items_tpu([data], self.compression)[0]
+
+
+def _to_bytes(data) -> bytes:
+    if isinstance(data, bytes):
+        return data
+    if isinstance(data, (bytearray, memoryview)):
+        return bytes(data)
+    if isinstance(data, np.ndarray):
+        return data.astype(np.uint8, copy=False).tobytes()
+    try:
+        import jax
+
+        if isinstance(data, jax.Array):
+            return np.asarray(data).astype(np.uint8, copy=False).tobytes()
+    except Exception:
+        pass
+    raise TypeError(f"unsupported input type {type(data)}")

@@ -1,0 +1,379 @@
+"""Managers: single-shot, batch, and streaming compression surfaces.
+
+TPU-native counterpart of the reference's manager layer
+(reference include/cuda_zstd_manager.h:45-352 — `ZstdManager`,
+`ZstdBatchManager`, `ZstdStreamingManager`; impl src/cuda_zstd_manager.cu).
+The CUDA stream pool / workspace partitioning machinery has no TPU analogue
+(XLA owns memory; batching replaces streams): a Manager here wraps the jitted
+block pipeline plus host framing, with power-of-two batch bucketing in place
+of the reference's 8-stream round-robin (manager.cu:5540-5585).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..constants import BLOCK_RLE
+from ..format.frame import write_frame_header
+from ..format.xxhash import content_checksum
+from .config import (
+    ChecksumPolicy,
+    CompressionConfig,
+    CompressionStats,
+    ExecutionPath,
+    Status,
+    estimate_compressed_size,
+)
+
+
+def _pipeline_config(cfg: CompressionConfig):
+    from ..ops.pipeline import PipelineConfig
+
+    return PipelineConfig(
+        block_size=cfg.block_size,
+        hash_log=cfg.hash_log,
+        depth=cfg.search_depth,
+        cap=cfg.compare_cap,
+        min_match=cfg.min_match,
+    )
+
+
+def _bucket(n: int, lo: int = 8) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+@dataclass
+class BatchItem:
+    """One batch entry (reference types.h:268-274)."""
+
+    data: bytes
+    output: bytes | None = None
+    status: Status = Status.SUCCESS
+
+
+class Manager:
+    """Single-shot compress/decompress manager (context-manager friendly).
+
+    Mirrors the `cuda_zstd.Manager` Python surface
+    (reference python/cuda_zstd/__init__.py:176-339).
+    """
+
+    def __init__(
+        self,
+        level: int = 3,
+        config: CompressionConfig | None = None,
+        execution_path: ExecutionPath = ExecutionPath.AUTO,
+    ):
+        self.config = config or CompressionConfig.from_level(level)
+        st = self.config.validate()
+        if st != Status.SUCCESS:
+            raise ValueError(f"invalid config: {st.name}")
+        self.execution_path = execution_path
+        self.stats = CompressionStats()
+        self._closed = False
+
+    # -- context manager ------------------------------------------------------
+    def __enter__(self) -> "Manager":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def close(self) -> None:
+        self._closed = True
+
+    # -- paths ----------------------------------------------------------------
+    def select_execution_path(self, size: int) -> ExecutionPath:
+        """Size-based routing (reference manager.cu:6466 select_execution_path:
+        small inputs are faster on the host; large ones on the accelerator)."""
+        if self.execution_path != ExecutionPath.AUTO:
+            return self.execution_path
+        if size < self.config.cpu_threshold:
+            return ExecutionPath.CPU
+        return ExecutionPath.TPU_BATCH
+
+    # -- single-shot ----------------------------------------------------------
+    def compress(self, data: bytes) -> bytes:
+        t0 = time.perf_counter()
+        path = self.select_execution_path(len(data))
+        if path == ExecutionPath.CPU:
+            out = self._compress_cpu(data)
+        else:
+            out = self._compress_tpu([data])[0]
+        dt = time.perf_counter() - t0
+        self.stats.total_input_bytes += len(data)
+        self.stats.total_output_bytes += len(out)
+        self.stats.total_frames += 1
+        self.stats.total_blocks += max(1, -(-len(data) // self.config.block_size))
+        self.stats.total_compress_calls += 1
+        self.stats.total_compress_time_s += dt
+        return out
+
+    def decompress(self, data: bytes, max_output_size: int | None = None) -> bytes:
+        t0 = time.perf_counter()
+        out = _decompress_host(
+            data,
+            max_output_size,
+            verify=self.config.checksum == ChecksumPolicy.COMPUTE_AND_VERIFY,
+        )
+        dt = time.perf_counter() - t0
+        self.stats.total_decompress_calls += 1
+        self.stats.total_decompress_time_s += dt
+        return out
+
+    # -- internals ------------------------------------------------------------
+    def _compress_cpu(self, data: bytes) -> bytes:
+        """Host path: the format-layer reference codec (pure Python/numpy).
+
+        The reference's CPU path delegates to libzstd (manager.cu:1607-1668);
+        the equivalent fast host path here is HybridEngine with
+        Backend.CPU_LIBZSTD — Manager's CPU path stays within our own codec so
+        that every Manager output exercises this framework's format layer.
+        """
+        from ..format.frame import CompressParams, compress as host_compress
+
+        return host_compress(
+            data,
+            CompressParams(
+                level=self.config.level,
+                hash_log=min(self.config.hash_log, 16),
+                search_depth=self.config.search_depth,
+                min_match=self.config.min_match,
+                lazy=self.config.strategy >= 4,
+                block_size=self.config.block_size,
+                checksum=self.config.checksum != ChecksumPolicy.NONE,
+            ),
+        )
+
+    def _compress_tpu(self, items: list[bytes]) -> list[bytes]:
+        return compress_items_tpu(items, self.config)
+
+
+def compress_items_tpu(items: list[bytes], cfg: CompressionConfig) -> list[bytes]:
+    """Compress a list of buffers on the TPU in ONE device dispatch.
+
+    All items' blocks are flattened into a (B, block_size) batch (the TPU
+    replacement for the reference's per-item stream dispatch,
+    manager.cu:5715-5797), then reassembled into one frame per item.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.pipeline import compress_blocks
+
+    pcfg = _pipeline_config(cfg)
+    N = pcfg.block_size
+    spans: list[tuple[int, int]] = []  # (first_block, nblocks) per item
+    all_blocks: list[np.ndarray] = []
+    lengths: list[int] = []
+    for data in items:
+        n = len(data)
+        nb = max(1, -(-n // N))
+        spans.append((len(all_blocks), nb))
+        arr = np.frombuffer(data, dtype=np.uint8)
+        for b in range(nb):
+            chunk = arr[b * N : min((b + 1) * N, n)]
+            buf = np.zeros(N, dtype=np.uint8)
+            buf[: len(chunk)] = chunk
+            all_blocks.append(buf)
+            lengths.append(len(chunk))
+    B = len(all_blocks)
+    Bpad = _bucket(B)
+    blocks_np = np.zeros((Bpad, N), dtype=np.uint8)
+    if B:
+        blocks_np[:B] = np.stack(all_blocks)
+    lens_np = np.zeros(Bpad, dtype=np.int32)
+    lens_np[:B] = lengths
+
+    contents, clens, btypes = jax.device_get(
+        compress_blocks(jnp.asarray(blocks_np), jnp.asarray(lens_np), pcfg)
+    )
+
+    outs: list[bytes] = []
+    checksum = cfg.checksum != ChecksumPolicy.NONE
+    for (first, nb), data in zip(spans, items):
+        if len(data) == 0:
+            hdr = write_frame_header(0, checksum=checksum, dict_id=cfg.dict_id)
+            out = hdr + (1).to_bytes(3, "little")
+            if checksum:
+                out += content_checksum(b"").to_bytes(4, "little")
+            outs.append(out)
+            continue
+        parts = [
+            write_frame_header(
+                len(data), checksum=checksum, dict_id=cfg.dict_id,
+                window_log=cfg.window_log,
+            )
+        ]
+        for k in range(nb):
+            b = first + k
+            last = 1 if k == nb - 1 else 0
+            btype = int(btypes[b])
+            clen = int(clens[b])
+            if btype == BLOCK_RLE:
+                parts.append(((int(lens_np[b]) << 3) | (BLOCK_RLE << 1) | last).to_bytes(3, "little"))
+                parts.append(contents[b, :1].tobytes())
+            else:
+                parts.append(((clen << 3) | (btype << 1) | last).to_bytes(3, "little"))
+                parts.append(contents[b, :clen].tobytes())
+        if checksum:
+            parts.append(content_checksum(data).to_bytes(4, "little"))
+        outs.append(b"".join(parts))
+    return outs
+
+
+def _decompress_host(
+    data: bytes, max_output_size: int | None = None, verify: bool = False
+) -> bytes:
+    """Host decompression via libzstd (`zstandard`), falling back to the
+    format-layer decoder. libzstd plays the same role as in the reference
+    (CPU backend + oracle, CMakeLists.txt:31-32)."""
+    try:
+        import zstandard
+
+        from ..format.frame import parse_frame_header
+
+        hdr = parse_frame_header(data)
+        if max_output_size is None:
+            max_output_size = hdr.content_size if hdr.content_size is not None else 0
+        dctx = zstandard.ZstdDecompressor()
+        if max_output_size:
+            return dctx.decompress(data, max_output_size=max_output_size)
+        return dctx.decompress(data)
+    except Exception:
+        from ..format.frame import decompress as fallback
+
+        return fallback(data, verify_checksum=verify)
+
+
+class BatchManager:
+    """Batched many-buffer compression (reference ZstdBatchManager,
+    manager.h:113-278). One device dispatch per batch."""
+
+    def __init__(self, level: int = 3, config: CompressionConfig | None = None):
+        self.config = config or CompressionConfig.from_level(level)
+        self.stats = CompressionStats()
+
+    def __enter__(self) -> "BatchManager":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        pass
+
+    def compress_batch(self, items: list[BatchItem] | list[bytes]) -> list[BatchItem]:
+        t0 = time.perf_counter()
+        norm = [it if isinstance(it, BatchItem) else BatchItem(it) for it in items]
+        outs = compress_items_tpu([it.data for it in norm], self.config)
+        for it, out in zip(norm, outs):
+            it.output = out
+            it.status = Status.SUCCESS
+        dt = time.perf_counter() - t0
+        self.stats.total_input_bytes += sum(len(it.data) for it in norm)
+        self.stats.total_output_bytes += sum(len(it.output or b"") for it in norm)
+        self.stats.total_frames += len(norm)
+        self.stats.total_compress_calls += 1
+        self.stats.total_compress_time_s += dt
+        return norm
+
+    def decompress_batch(self, items: list[BatchItem] | list[bytes]) -> list[BatchItem]:
+        t0 = time.perf_counter()
+        norm = [it if isinstance(it, BatchItem) else BatchItem(it) for it in items]
+        for it in norm:
+            try:
+                it.output = _decompress_host(it.data)
+                it.status = Status.SUCCESS
+            except Exception:
+                it.output = None
+                it.status = Status.ERROR_CORRUPT_DATA
+        self.stats.total_decompress_calls += 1
+        self.stats.total_decompress_time_s += time.perf_counter() - t0
+        return norm
+
+
+class StreamingManager:
+    """Chunked single-frame streaming (reference ZstdStreamingManager,
+    manager.h:300-352; StreamingContext manager.cu:770).
+
+    Emits one zstd frame across `compress_chunk` calls: frame header (unknown
+    content size) on the first chunk, per-chunk blocks, closing (+ optional
+    checksum) on `flush`. Matches stay chunk-local, so chunk boundaries are
+    block boundaries (the reference's window-history mode is a ratio
+    optimization, not a format requirement)."""
+
+    def __init__(self, level: int = 3, config: CompressionConfig | None = None):
+        self.config = config or CompressionConfig.from_level(level)
+        self.reset()
+
+    def reset(self) -> None:
+        self._started = False
+        self._finished = False
+        self._hasher_data = bytearray()
+        self.stats = CompressionStats()
+
+    def compress_chunk(self, chunk: bytes) -> bytes:
+        if self._finished:
+            raise RuntimeError("stream finished; call reset()")
+        out = bytearray()
+        if not self._started:
+            out += write_frame_header(
+                None, checksum=self.config.checksum != ChecksumPolicy.NONE,
+                window_log=self.config.window_log or 20, dict_id=self.config.dict_id,
+            )
+            self._started = True
+        if self.config.checksum != ChecksumPolicy.NONE:
+            self._hasher_data += chunk
+        if chunk:
+            frames = compress_items_tpu([chunk], self.config)[0]
+            # strip the per-item frame header; keep raw block stream, clearing
+            # the `last` flag of the final block.
+            body = _strip_frame_to_blocks(frames, clear_last=True)
+            out += body
+        self.stats.total_input_bytes += len(chunk)
+        self.stats.total_output_bytes += len(out)
+        return bytes(out)
+
+    def flush(self) -> bytes:
+        """Terminate the frame (empty raw last block + checksum)."""
+        if self._finished:
+            return b""
+        out = bytearray()
+        if not self._started:
+            out += write_frame_header(
+                None, checksum=self.config.checksum != ChecksumPolicy.NONE,
+                window_log=self.config.window_log or 20, dict_id=self.config.dict_id,
+            )
+            self._started = True
+        out += (1).to_bytes(3, "little")  # empty Raw block, last=1
+        if self.config.checksum != ChecksumPolicy.NONE:
+            out += content_checksum(bytes(self._hasher_data)).to_bytes(4, "little")
+        self._finished = True
+        return bytes(out)
+
+
+def _strip_frame_to_blocks(frame: bytes, clear_last: bool) -> bytes:
+    """Drop the frame header (and checksum) from a single-frame buffer,
+    returning the raw block stream; optionally clear the final last-block flag."""
+    from ..format.frame import parse_frame_header
+
+    hdr = parse_frame_header(frame)
+    pos = hdr.header_size
+    blocks = bytearray()
+    while True:
+        bh = int.from_bytes(frame[pos : pos + 3], "little")
+        last = bh & 1
+        btype = (bh >> 1) & 3
+        bsize = bh >> 3
+        size = 1 if btype == BLOCK_RLE else bsize
+        new_bh = bh & ~1 if clear_last else bh
+        blocks += new_bh.to_bytes(3, "little")
+        blocks += frame[pos + 3 : pos + 3 + size]
+        pos += 3 + size
+        if last:
+            break
+    return bytes(blocks)

@@ -1,0 +1,72 @@
+"""Multi-chip batch parallelism over a jax.sharding.Mesh.
+
+The reference is single-GPU (multi-GPU is Future Work, reference
+README.md:1648); its parallelism tops out at an 8-stream batch pool
+(src/cuda_zstd_manager.cu:5540-5585). The TPU framework scales the same
+batch axis across chips instead: independent blocks are sharded data-parallel
+over the mesh ('batch' axis rides ICI), compression runs with zero
+collectives, and the variable-length outputs are gathered in order on the
+host (sizes + prefix offsets, the same scheme the reference applies per-block
+on one GPU at manager.cu:2688-2745).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.pipeline import DEFAULT_CONFIG, PipelineConfig, compress_blocks
+
+
+def make_mesh(num_devices: int | None = None, axis: str = "batch") -> Mesh:
+    """1-D device mesh over all (or the first N) visible devices."""
+    devs = jax.devices()
+    if num_devices is not None:
+        devs = devs[:num_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+@functools.partial(jax.jit, static_argnums=(2,), static_argnames=("mesh",))
+def _compress_blocks_sharded(blocks, lengths, cfg: PipelineConfig, *, mesh: Mesh):
+    bs = NamedSharding(mesh, P("batch", None))
+    ls = NamedSharding(mesh, P("batch"))
+    blocks = jax.lax.with_sharding_constraint(blocks, bs)
+    lengths = jax.lax.with_sharding_constraint(lengths, ls)
+    contents, clens, btypes = compress_blocks(blocks, lengths, cfg)
+    return (
+        jax.lax.with_sharding_constraint(contents, bs),
+        jax.lax.with_sharding_constraint(clens, ls),
+        jax.lax.with_sharding_constraint(btypes, ls),
+    )
+
+
+def compress_blocks_sharded(
+    blocks: np.ndarray,
+    lengths: np.ndarray,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    mesh: Mesh | None = None,
+):
+    """Compress a (B, N) block batch sharded over the mesh's batch axis.
+
+    B must be a multiple of the mesh size (callers pad with zero-length
+    blocks). Returns host numpy (contents, content_lens, block_types).
+    """
+    mesh = mesh or make_mesh()
+    ndev = mesh.devices.size
+    B = blocks.shape[0]
+    if B % ndev:
+        pad = ndev - B % ndev
+        blocks = np.concatenate([blocks, np.zeros((pad,) + blocks.shape[1:], blocks.dtype)])
+        lengths = np.concatenate([lengths, np.zeros(pad, lengths.dtype)])
+    sharding = NamedSharding(mesh, P("batch", None))
+    lsharding = NamedSharding(mesh, P("batch"))
+    jb = jax.device_put(jnp.asarray(blocks), sharding)
+    jl = jax.device_put(jnp.asarray(lengths), lsharding)
+    contents, clens, btypes = jax.device_get(
+        _compress_blocks_sharded(jb, jl, cfg, mesh=mesh)
+    )
+    return contents[:B], clens[:B], btypes[:B]
