@@ -59,9 +59,14 @@ def write_frame_header(
     dict_id: int = 0,
     window_log: int | None = None,
 ) -> bytes:
-    """Frame_Header per RFC 8878 §3.1.1.1."""
+    """Frame_Header per RFC 8878 §3.1.1.1.
+
+    An explicit window_log disables the single-segment shortcut (needed when
+    match offsets may exceed the content size, e.g. dictionary frames)."""
     out = bytearray(ZSTD_MAGIC.to_bytes(4, "little"))
-    single_segment = content_size is not None and content_size <= (1 << 20)
+    single_segment = (
+        content_size is not None and content_size <= (1 << 20) and window_log is None
+    )
     if content_size is None:
         fcs_flag = 0
         fcs_bytes = b""
@@ -375,7 +380,20 @@ def decompress(data: bytes, verify_checksum: bool = True) -> bytes:
     return bytes(out_all)
 
 
+def decompress_frame_with_window(
+    data: bytes, window: bytes, verify_checksum: bool = True
+) -> bytes:
+    """Decode one frame with pre-existing window history (dictionary mode)."""
+    return _decompress_frame_impl(data, window, verify_checksum)[0]
+
+
 def decompress_frame(data: bytes, verify_checksum: bool = True) -> tuple[bytes, int]:
+    return _decompress_frame_impl(data, b"", verify_checksum)
+
+
+def _decompress_frame_impl(
+    data: bytes, window: bytes, verify_checksum: bool
+) -> tuple[bytes, int]:
     hdr = parse_frame_header(data)
     pos = hdr.header_size
     out = bytearray()
@@ -402,7 +420,7 @@ def decompress_frame(data: bytes, verify_checksum: bool = True) -> tuple[bytes, 
             seqs, seq_tables_new, _ = decode_sequences_section(body[lit.consumed :], seq_tables)
             if seqs is not None:
                 seq_tables = seq_tables_new
-            decoded, rep = execute_sequences(lit.data, seqs, rep, window=bytes(out))
+            decoded, rep = execute_sequences(lit.data, seqs, rep, window=window + bytes(out))
             out += decoded
         else:
             raise ValueError("reserved block type")

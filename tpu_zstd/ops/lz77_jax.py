@@ -79,20 +79,28 @@ def _word_inc(x: jax.Array) -> jax.Array:
 
 
 def find_matches(
-    block: jax.Array, n: jax.Array, *, hash_log: int, depth: int, cap: int
+    block: jax.Array,
+    n: jax.Array,
+    *,
+    hash_log: int,
+    depth: int,
+    cap: int,
+    win_start: jax.Array | int = 0,
 ) -> tuple[jax.Array, jax.Array]:
     """Best (capped) match per position: returns (best_ml, best_off), pos order.
 
     Ties prefer the smallest offset (the most recent previous occurrence),
     which keeps offsets repcode-friendly and lets the merge pass re-join
-    truncated long matches.
+    truncated long matches. Positions in [win_start, n) participate as match
+    sources/targets (win_start > 0 marks a dictionary-window prefix; bytes
+    before it are padding and must never be referenced).
     """
     N = block.shape[0]
     nwords = cap // 4
     pos = jnp.arange(N, dtype=I32)
     w, h = _hash_words(block, hash_log)
     big = jnp.iinfo(jnp.int32).max
-    key = jnp.where(pos < n - 3, h, big)
+    key = jnp.where((pos < n - 3) & (pos >= win_start), h, big)
 
     ops = [key, pos] + [jnp.roll(w, -4 * k).astype(I32) for k in range(nwords)]
     sorted_ops = jax.lax.sort(tuple(ops), num_keys=1, is_stable=True)
@@ -163,23 +171,34 @@ def parse_block(
     depth: int = 2,
     cap: int = 32,
     min_match: int = 4,
+    block_start: jax.Array | int = 0,
+    win_start: jax.Array | int = 0,
 ) -> BlockSequences:
-    """Greedy-parse one (padded) block into sequences. block: (N,) uint8/int32."""
+    """Greedy-parse one (padded) block into sequences. block: (N,) uint8/int32.
+
+    Dictionary mode (reference preloads dictionary content into the LZ77
+    window, manager.cu:1699-1775): the compressible payload occupies
+    [block_start, n) and [win_start, block_start) holds the tail of the
+    dictionary — those positions are match *sources* only. Sequence literal
+    positions and lengths are all relative to block_start.
+    """
     N = block.shape[0]
     pos = jnp.arange(N, dtype=I32)
 
-    bml, boff = find_matches(block, n, hash_log=hash_log, depth=depth, cap=cap)
+    bml, boff = find_matches(
+        block, n, hash_log=hash_log, depth=depth, cap=cap, win_start=win_start
+    )
 
     # Truncate matches at segment boundaries so segments parse independently;
     # the merge pass below re-joins same-offset continuations.
     room = SEG - (pos & (SEG - 1))
     ml_t = jnp.minimum(bml, room)
-    matched = (ml_t >= min_match) & (boff > 0) & (pos < n)
+    matched = (ml_t >= min_match) & (boff > 0) & (pos < n) & (pos >= block_start)
     step = jnp.where(matched, ml_t, 1)
 
     is_seq, is_lit = greedy_parse(step, matched)
     is_seq = is_seq & (pos < n)
-    is_lit = is_lit & (pos < n)
+    is_lit = is_lit & (pos < n) & (pos >= block_start)
     nseq = jnp.sum(is_seq.astype(I32))
 
     # Extraction via compaction-sort (selected rows first, in position order).
@@ -197,7 +216,7 @@ def parse_block(
     offs = jnp.where(valid, offs, 0)
 
     ends = starts + mls
-    prev_end = jnp.roll(ends, 1).at[0].set(0)
+    prev_end = jnp.roll(ends, 1).at[0].set(jnp.asarray(block_start, I32) + 0)
     lls = jnp.where(valid, starts - prev_end, 0)
 
     # Merge contiguous same-offset sequences (recovers matches beyond `cap`

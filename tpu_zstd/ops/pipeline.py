@@ -39,6 +39,7 @@ class PipelineConfig:
     depth: int = 2
     cap: int = 32
     min_match: int = 4
+    dict_cap: int = 0  # dictionary-window prefix capacity (0 = no dictionary)
 
     @property
     def max_seqs(self) -> int:
@@ -54,22 +55,29 @@ class PipelineConfig:
 DEFAULT_CONFIG = PipelineConfig()
 
 
-def _compress_one_block(block: jax.Array, n: jax.Array, cfg: PipelineConfig):
-    """block: (N,) uint8, n: () int32 actual length.
+def _compress_one_block(
+    block: jax.Array, n: jax.Array, cfg: PipelineConfig, dlen: jax.Array | int = 0
+):
+    """block: (dict_cap + N,) uint8 — [padding | dict tail | payload]; the
+    payload occupies [dict_cap, dict_cap + n) and the last `dlen` bytes of the
+    prefix hold dictionary content (match sources only).
 
     Returns (content[(N,)] uint8, content_len, block_type) — the block body
     WITHOUT the 3-byte block header (the frame assembler adds it, since the
     `last` flag is frame-level).
     """
     N = cfg.block_size
+    DC = cfg.dict_cap
     seqs = parse_block(
         block,
-        n,
+        DC + n,
         max_seqs=cfg.max_seqs,
         hash_log=cfg.hash_log,
         depth=cfg.depth,
         cap=cfg.cap,
         min_match=cfg.min_match,
+        block_start=DC,
+        win_start=DC - dlen,
     )
     nlit = seqs.nlit
 
@@ -93,8 +101,9 @@ def _compress_one_block(block: jax.Array, n: jax.Array, cfg: PipelineConfig):
     body_len = lit_sec_len + seq_len
 
     # Block type decision. RLE: whole block is one repeated byte.
+    payload = jax.lax.dynamic_slice_in_dim(block, DC, N)  # static start
     pos = jnp.arange(N, dtype=I32)
-    all_same = jnp.sum(((block != block[0]) & (pos < n)).astype(I32)) == 0
+    all_same = jnp.sum(((payload != payload[0]) & (pos < n)).astype(I32)) == 0
     is_rle = all_same & (n >= 2)
     is_comp = ~is_rle & (body_len < n) & (seqs.nseq > 0)
     btype = jnp.where(is_rle, BLOCK_RLE, jnp.where(is_comp, BLOCK_COMPRESSED, BLOCK_RAW))
@@ -105,7 +114,7 @@ def _compress_one_block(block: jax.Array, n: jax.Array, cfg: PipelineConfig):
     # literal padding tail is overwritten by the sequences section at its true
     # offset (anything past body_len is unused).
     hdr6 = jax.lax.dynamic_update_slice(jnp.zeros(6, jnp.uint8), lh, (3 - lit_hdr_len,))
-    litsec_full = jnp.concatenate([hdr6[:3], seqs.lits, jnp.zeros(3, jnp.uint8)])
+    litsec_full = jnp.concatenate([hdr6[:3], seqs.lits[:N], jnp.zeros(3, jnp.uint8)])
     litsec = jax.lax.dynamic_slice(litsec_full, (3 - lit_hdr_len,), (N + 3,))
     body = jnp.zeros(N + cfg.seq_cap + 16, dtype=jnp.uint8)
     body = jax.lax.dynamic_update_slice(body, litsec, (0,))
@@ -113,10 +122,23 @@ def _compress_one_block(block: jax.Array, n: jax.Array, cfg: PipelineConfig):
 
     content = jnp.where(
         is_rle,
-        jnp.broadcast_to(block[0], (N,)).astype(jnp.uint8),
-        jnp.where(is_comp, body[:N], block.astype(jnp.uint8)),
+        jnp.broadcast_to(payload[0], (N,)).astype(jnp.uint8),
+        jnp.where(is_comp, body[:N], payload.astype(jnp.uint8)),
     )
     return content, content_len, btype
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def compress_blocks_dict(
+    blocks: jax.Array, lengths: jax.Array, dlens: jax.Array, cfg: PipelineConfig
+):
+    """Dictionary-window batched compression.
+
+    blocks: (B, dict_cap + N) uint8 laid out [padding | dict tail | payload];
+    lengths: payload lengths; dlens: dictionary bytes present per block.
+    """
+    fn = lambda b, n, d: _compress_one_block(b, n, cfg, d)
+    return jax.vmap(fn)(blocks, lengths, dlens)
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
