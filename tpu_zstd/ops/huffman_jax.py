@@ -1,0 +1,243 @@
+"""TPU-parallel Huffman literals encoder (RFC 8878 §4.2, 4-stream format).
+
+Counterpart of the reference's Huffman subsystem (reference
+src/cuda_zstd_huffman.cu: `analyze_frequencies_kernel` :88, host tree build
+:1878-1905, `parallel_huffman_encode_kernel` :1132, table serialization :189)
+— but note the reference COMPRESSOR never emits Huffman literals (Raw only,
+manager.cu:4433-4435); this encoder therefore exceeds reference parity.
+
+All stages are jittable and batch over blocks:
+- histogram via sort + searchsorted (no scatter)
+- length-limited code lengths via a vectorized theta-shift + exact Kraft
+  repair (a parallel stand-in for package-merge; blocks where the repair
+  cannot reach Kraft equality fall back to Raw literals)
+- canonical code assignment (longest codes smallest, natural order within a
+  length) as closed-form vector ops
+- direct 4-bit weight serialization (blocks whose last present symbol exceeds
+  index 128 fall back to Raw — FSE-compressed weights are a later extension)
+- 4 independent backward bitstreams + jump table, deposited in parallel
+  (ops/bitpack.py)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .bitpack import deposit_bits
+
+I32 = jnp.int32
+U32 = jnp.uint32
+F32 = jnp.float32
+
+MAX_BITS = 11
+TSIZE = 1 << MAX_BITS  # Kraft budget at max_bits granularity
+
+
+def huff_payload_cap(block_size: int) -> int:
+    """Buffer capacity for the worst-case 4-stream payload of one block."""
+    part = block_size // 4 + 4
+    num_words = (part * MAX_BITS) // 8 // 4 + 4
+    return 6 + 4 * (num_words * 4) + 160  # jump + streams + weights header
+
+
+def _floor_log2(v: jax.Array) -> jax.Array:
+    v = v.astype(U32)
+    out = jnp.zeros(v.shape, dtype=I32)
+    for shift in (16, 8, 4, 2, 1):
+        m = v >= (U32(1) << U32(shift))
+        out = out + jnp.where(m, shift, 0)
+        v = jnp.where(m, v >> U32(shift), v)
+    return out
+
+
+def literal_histogram(lits: jax.Array, nlit: jax.Array) -> jax.Array:
+    """(256,) counts of lits[:nlit] — sort + searchsorted, no scatter."""
+    N = lits.shape[0]
+    pos = jnp.arange(N, dtype=I32)
+    vals = jnp.where(pos < nlit, lits.astype(I32), 256)
+    sv = jnp.sort(vals)
+    edges = jnp.searchsorted(sv, jnp.arange(257, dtype=I32))
+    return (edges[1:] - edges[:-1]).astype(I32)
+
+
+def build_lengths(cnt: jax.Array, nlit: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Length-limited (<=11) code lengths with exact Kraft equality.
+
+    Returns (lengths[256] — 0 for absent symbols, ok flag). ok is False when
+    the repair could not reach equality or <2 symbols are present.
+    """
+    present = cnt > 0
+    nsym = jnp.sum(present.astype(I32))
+
+    # Initial lengths ~ ceil(-log2 p), via integer ratio against the budget
+    # (int32-safe: cnt <= 2^20 literals, * 2^11 < 2^31).
+    ratio = cnt.astype(I32) * TSIZE // jnp.maximum(nlit, 1)
+    l0 = MAX_BITS - _floor_log2(jnp.maximum(ratio, 1))
+    l0 = jnp.clip(l0, 1, MAX_BITS)
+
+    # Smallest uniform shift theta that fits the Kraft budget.
+    def kraft(l):
+        return jnp.sum(jnp.where(present, (1 << (MAX_BITS - l)).astype(I32), 0))
+
+    K_by_theta = jnp.stack([kraft(jnp.clip(l0 + t, 1, MAX_BITS)) for t in range(MAX_BITS + 1)])
+    fits = K_by_theta <= TSIZE
+    theta = jnp.argmax(fits).astype(I32)  # first fitting shift
+    lengths = jnp.clip(l0 + theta, 1, MAX_BITS)
+    lengths = jnp.where(present, lengths, 0)
+    safe_l = jnp.where(present, lengths, MAX_BITS)
+    D = TSIZE - jnp.sum(jnp.where(present, (1 << (MAX_BITS - safe_l)).astype(I32), 0))
+
+    # Exact repair: hand out the remaining budget by promoting symbols
+    # (l -> l-1 gains 2^(11-l)); two passes over gain sizes, largest first.
+    for _ in range(2):
+        for l in range(2, MAX_BITS + 1):
+            g = 1 << (MAX_BITS - l)
+            cand = present & (lengths == l)
+            k = jnp.minimum(jnp.sum(cand.astype(I32)), D // g)
+            r = jnp.cumsum(cand.astype(I32)) - 1
+            dec = cand & (r < k)
+            lengths = jnp.where(dec, l - 1, lengths)
+            D = D - k * g
+    ok = (D == 0) & (nsym >= 2)
+    return lengths, ok
+
+
+def canonical_codes(lengths: jax.Array) -> jax.Array:
+    """Canonical code values from lengths (mirrors format/huffman.assign_codes)."""
+    sym_ar = jnp.arange(256, dtype=I32)
+    nb_per_rank = jnp.stack(
+        [jnp.sum((lengths == l).astype(I32)) for l in range(MAX_BITS + 2)]
+    )
+    # val_per_rank: walk from max_bits down (python loop over static lengths).
+    vals = [jnp.zeros((), I32) for _ in range(MAX_BITS + 2)]
+    min_v = jnp.zeros((), I32)
+    for nbits in range(MAX_BITS, 0, -1):
+        vals[nbits] = min_v
+        min_v = (min_v + nb_per_rank[nbits]) >> 1
+    val_per_rank = jnp.stack(vals)  # (MAX_BITS+2,)
+    # rank within (length, natural symbol order)
+    onehot_l = (lengths[:, None] == jnp.arange(MAX_BITS + 2, dtype=I32)[None, :]).astype(I32)
+    rank_within = jnp.cumsum(onehot_l, axis=0) - onehot_l  # exclusive count per length
+    my_rank = jnp.sum(rank_within * onehot_l, axis=1)
+    my_base = jnp.sum(val_per_rank[None, :] * onehot_l, axis=1)
+    return jnp.where(lengths > 0, my_base + my_rank, 0)
+
+
+def weights_header(lengths: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Direct 4-bit weight serialization (RFC §4.2.1.2).
+
+    Returns (header[129] uint8, header_len, ok). ok False when the explicit
+    weight count exceeds 128 (FSE-weight encoding not emitted on-device yet).
+    """
+    sym_ar = jnp.arange(256, dtype=I32)
+    table_log = jnp.max(lengths)
+    weights = jnp.where(lengths > 0, table_log + 1 - lengths, 0)
+    last_present = jnp.max(jnp.where(lengths > 0, sym_ar, -1))
+    num = last_present  # explicit weights = weights[:last_present]
+    ok = (num >= 1) & (num <= 128)
+    wexp = jnp.where(sym_ar < num, weights, 0)  # zero beyond explicit range
+    hi = wexp[0::2]
+    lo = wexp[1::2]
+    packed = ((hi << 4) | lo).astype(jnp.uint8)  # (128,)
+    hdr = jnp.concatenate([jnp.zeros(1, jnp.uint8), packed])
+    hdr = hdr.at[0].set((127 + num).astype(jnp.uint8))
+    hdr_len = 1 + (num + 1) // 2
+    return hdr, hdr_len, ok
+
+
+def _lut256(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """Gather-free 256-entry lookup: two-level 16x16 one-hot contraction."""
+    t = table.astype(F32).reshape(16, 16)
+    hi = idx >> 4
+    lo = idx & 15
+    oh_hi = (hi[:, None] == jnp.arange(16, dtype=I32)[None, :]).astype(F32)
+    rows = oh_hi @ t  # (N, 16)
+    oh_lo = (lo[:, None] == jnp.arange(16, dtype=I32)[None, :]).astype(F32)
+    return jnp.sum(rows * oh_lo, axis=1).astype(I32)
+
+
+def encode_literals_4stream(
+    lits: jax.Array,
+    nlit: jax.Array,
+    lengths: jax.Array,
+    codes: jax.Array,
+    out_cap: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """4-stream Huffman payload: jump table + 4 backward bitstreams.
+
+    lits: (N,) uint8 (first nlit valid). Returns (payload[out_cap+8] uint8,
+    payload_len, ok). Streams encode their symbols in reverse position order
+    (decoders read forward). Requires nlit >= 16 (callers gate on that).
+    """
+    N = lits.shape[0]
+    PART = N // 4 + 4
+    seg = (nlit + 3) // 4
+
+    lit_codes = _lut256(codes, lits.astype(I32))
+    lit_lens = _lut256(lengths, lits.astype(I32))
+
+    num_words = (PART * MAX_BITS) // 8 // 4 + 4
+    stream_bytes_list = []
+    words_list = []
+    lens_ok = jnp.ones((), dtype=bool)
+    lits_pad_codes = jnp.concatenate([lit_codes, jnp.zeros(PART, I32)])
+    lits_pad_lens = jnp.concatenate([lit_lens, jnp.zeros(PART, I32)])
+    t_ar = jnp.arange(PART, dtype=I32)
+    for s in range(4):
+        start = seg * s
+        end = jnp.where(s == 3, nlit, jnp.minimum(seg * (s + 1), nlit))
+        plen = jnp.maximum(end - start, 0)
+        pc = jax.lax.dynamic_slice(lits_pad_codes, (start,), (PART,))
+        pl = jax.lax.dynamic_slice(lits_pad_lens, (start,), (PART,))
+        # reverse the valid prefix: rev[t] = part[plen-1-t]
+        rc = jnp.roll(jnp.flip(pc), plen - PART)
+        rl = jnp.roll(jnp.flip(pl), plen - PART)
+        valid = t_ar < plen
+        field_lens = jnp.concatenate([jnp.where(valid, rl, 0), jnp.ones(1, I32)])
+        field_vals = jnp.concatenate([rc, jnp.ones(1, I32)]).astype(U32)
+        words, total_bits = deposit_bits(field_vals, field_lens, num_words)
+        sb = (total_bits + 7) >> 3
+        words_list.append(words)
+        stream_bytes_list.append(sb)
+
+    sb = jnp.stack(stream_bytes_list)
+    jump = jnp.stack(
+        [
+            (sb[0] & 0xFF), (sb[0] >> 8) & 0xFF,
+            (sb[1] & 0xFF), (sb[1] >> 8) & 0xFF,
+            (sb[2] & 0xFF), (sb[2] >> 8) & 0xFF,
+        ]
+    ).astype(jnp.uint8)
+    ok = jnp.all(sb <= 0xFFFF) & (nlit >= 16)
+
+    out = jnp.zeros(out_cap + 8, dtype=jnp.uint8)
+    out = jax.lax.dynamic_update_slice(out, jump, (0,))
+    off = jnp.asarray(6, I32)
+    shifts = jnp.arange(4, dtype=U32) * U32(8)
+    for s in range(4):
+        stream = ((words_list[s][:, None] >> shifts[None, :]) & U32(0xFF)).reshape(-1).astype(jnp.uint8)
+        out = jax.lax.dynamic_update_slice(out, stream, (off,))
+        off = off + sb[s]
+    return out, off, ok
+
+
+def compress_literals_huffman(
+    lits: jax.Array, nlit: jax.Array, out_cap: int
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Full Huffman literals payload: weights header + 4-stream body.
+
+    Returns (payload[out_cap + 8] uint8, payload_len, ok). Callers compare
+    against the Raw representation and pick the smaller.
+    """
+    hist = literal_histogram(lits, nlit)
+    lengths, ok_l = build_lengths(hist, nlit)
+    codes = canonical_codes(lengths)
+    whdr, wlen, ok_w = weights_header(lengths)
+    body, blen, ok_s = encode_literals_4stream(lits, nlit, lengths, codes, out_cap)
+    # NOTE: buffer must exceed len(body) + max header so dynamic_update_slice
+    # never clamps the start offset (clamping would shift the write).
+    out = jnp.zeros(out_cap + 144, dtype=jnp.uint8)
+    out = jax.lax.dynamic_update_slice(out, whdr, (0,))
+    out = jax.lax.dynamic_update_slice(out, body, (wlen,))
+    return out, wlen + blen, ok_l & ok_w & ok_s

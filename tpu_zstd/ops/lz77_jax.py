@@ -241,9 +241,12 @@ def parse_block(
     starts2 = jnp.where(valid2, m_start, 0)
     ml2 = jnp.where(valid2, seg_ml, 0)  # segment sums are already head-ordered
 
-    # Offset-base values: rep0 when the offset repeats with literals in between.
-    prev_off2 = jnp.roll(off2, 1).at[0].set(1)  # initial rep[0] == 1
-    use_rep0 = valid2 & (ll2 > 0) & (off2 == prev_off2)
+    # Offset-base values: rep0 when the offset repeats with literals in
+    # between. The FIRST sequence of a block never uses a repcode: rep history
+    # carries across blocks in a frame (RFC 8878 §3.1.1.5), and blocks are
+    # compressed independently here, so the inherited state is unknown.
+    prev_off2 = jnp.roll(off2, 1).at[0].set(-1)
+    use_rep0 = valid2 & (k2 > 0) & (ll2 > 0) & (off2 == prev_off2)
     ob = jnp.where(valid2, jnp.where(use_rep0, 1, off2 + 3), 0)
 
     # Literal compaction via sort.

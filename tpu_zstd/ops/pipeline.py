@@ -40,6 +40,7 @@ class PipelineConfig:
     cap: int = 32
     min_match: int = 4
     dict_cap: int = 0  # dictionary-window prefix capacity (0 = no dictionary)
+    huffman_literals: bool = True  # compress literals (reference emits Raw only)
 
     @property
     def max_seqs(self) -> int:
@@ -53,6 +54,29 @@ class PipelineConfig:
 
 
 DEFAULT_CONFIG = PipelineConfig()
+
+
+def _lit_compressed_header(regen: jax.Array, comp: jax.Array, hdr_len: jax.Array) -> jax.Array:
+    """Compressed_Literals_Block header bytes (RFC §3.1.1.3.1.2): LSB-first
+    [type=2 (2b) | size_format (2b) | regen (rb) | comp (rb)] with
+    rb = 10/14/18 for size_format 1/2/3 (always 4-stream)."""
+    U = jnp.uint32
+    sf = (hdr_len - 2).astype(U)        # 3->1, 4->2, 5->3
+    rb = (hdr_len - 3) * 4 + 10         # 10/14/18
+    regen = regen.astype(U) & ((U(1) << rb.astype(U)) - U(1))
+    comp_u = comp.astype(U)
+    low = U(2) | (sf << U(2)) | (regen << U(4))
+    shift_c = (4 + rb).astype(U)
+    bytes_out = []
+    for i in range(5):
+        lo_byte = (low >> U(8 * i)) & U(0xFF)
+        # comp bits land at bit (4+rb): for byte i they sit at 8i - (4+rb).
+        s_pos = jnp.int32(8 * i) - shift_c.astype(jnp.int32)
+        right = (comp_u >> jnp.clip(s_pos, 0, 31).astype(U)) & U(0xFF)
+        left = (comp_u << jnp.clip(-s_pos, 0, 31).astype(U)) & U(0xFF)
+        comp_byte = jnp.where(s_pos >= 0, right, left)
+        bytes_out.append((lo_byte | comp_byte).astype(jnp.uint8))
+    return jnp.stack(bytes_out)
 
 
 def _compress_one_block(
@@ -97,7 +121,38 @@ def _compress_one_block(
         seqs.ll, seqs.ml, seqs.ob, seqs.nseq, cfg.max_seqs, cfg.seq_cap
     )
 
-    lit_sec_len = lit_hdr_len + nlit
+    # Raw literals section: right-align the 1-3 byte header in a 3-byte slot,
+    # then slice so the header's true bytes abut the literals.
+    hdr6 = jax.lax.dynamic_update_slice(jnp.zeros(6, jnp.uint8), lh, (3 - lit_hdr_len,))
+    litsec_raw = jnp.concatenate([hdr6[:3], seqs.lits[:N], jnp.zeros(3, jnp.uint8)])
+    litsec_raw = jax.lax.dynamic_slice(litsec_raw, (3 - lit_hdr_len,), (N + 3,))
+    raw_total = lit_hdr_len + nlit
+
+    if cfg.huffman_literals:
+        from .huffman_jax import compress_literals_huffman, huff_payload_cap
+
+        hcap = huff_payload_cap(N)
+        hpay, hlen, h_ok = compress_literals_huffman(seqs.lits[:N], nlit, hcap)
+        h_hdr_len = jnp.where(
+            (nlit < 1024) & (hlen < 1024), 3,
+            jnp.where((nlit < 16384) & (hlen < 16384), 4, 5),
+        )
+        hh = _lit_compressed_header(nlit, hlen, h_hdr_len)
+        huff_total = h_hdr_len + hlen
+        use_h = h_ok & (huff_total < raw_total)
+        litcap = max(N + 3, hcap + 173)
+        litsec_h = jnp.zeros(litcap, dtype=jnp.uint8)
+        litsec_h = jax.lax.dynamic_update_slice(litsec_h, hh, (0,))
+        litsec_h = jax.lax.dynamic_update_slice(litsec_h, hpay, (h_hdr_len,))
+        litsec_r = jnp.zeros(litcap, dtype=jnp.uint8)
+        litsec_r = jax.lax.dynamic_update_slice(litsec_r, litsec_raw, (0,))
+        litsec = jnp.where(use_h, litsec_h, litsec_r)
+        lit_sec_len = jnp.where(use_h, huff_total, raw_total)
+    else:
+        litcap = N + 3
+        litsec = litsec_raw
+        lit_sec_len = raw_total
+
     body_len = lit_sec_len + seq_len
 
     # Block type decision. RLE: whole block is one repeated byte.
@@ -109,14 +164,9 @@ def _compress_one_block(
     btype = jnp.where(is_rle, BLOCK_RLE, jnp.where(is_comp, BLOCK_COMPRESSED, BLOCK_RAW))
     content_len = jnp.where(is_rle, 1, jnp.where(is_comp, body_len, n))
 
-    # Sequential-access assembly: right-align the 1-3 byte literals header in a
-    # 3-byte slot, then slice so the header's true bytes abut the literals; the
-    # literal padding tail is overwritten by the sequences section at its true
-    # offset (anything past body_len is unused).
-    hdr6 = jax.lax.dynamic_update_slice(jnp.zeros(6, jnp.uint8), lh, (3 - lit_hdr_len,))
-    litsec_full = jnp.concatenate([hdr6[:3], seqs.lits[:N], jnp.zeros(3, jnp.uint8)])
-    litsec = jax.lax.dynamic_slice(litsec_full, (3 - lit_hdr_len,), (N + 3,))
-    body = jnp.zeros(N + cfg.seq_cap + 16, dtype=jnp.uint8)
+    # Sequential-access assembly; the literal padding tail is overwritten by
+    # the sequences section at its true offset (past body_len is unused).
+    body = jnp.zeros(litcap + cfg.seq_cap + 16, dtype=jnp.uint8)
     body = jax.lax.dynamic_update_slice(body, litsec, (0,))
     body = jax.lax.dynamic_update_slice(body, seq_bytes, (lit_sec_len,))
 
