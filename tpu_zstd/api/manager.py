@@ -195,8 +195,14 @@ def compress_items_tpu(items: list[bytes], cfg: CompressionConfig) -> list[bytes
         compress_blocks(jnp.asarray(blocks_np), jnp.asarray(lens_np), pcfg)
     )
 
-    outs: list[bytes] = []
     checksum = cfg.checksum != ChecksumPolicy.NONE
+
+    # Fast path: native C++ frame assembler (csrc), then split per item.
+    native_out = _assemble_native(items, spans, contents, clens, btypes, lens_np, cfg, checksum)
+    if native_out is not None:
+        return native_out
+
+    outs: list[bytes] = []
     for (first, nb), data in zip(spans, items):
         if len(data) == 0:
             hdr = write_frame_header(0, checksum=checksum, dict_id=cfg.dict_id)
@@ -225,6 +231,47 @@ def compress_items_tpu(items: list[bytes], cfg: CompressionConfig) -> list[bytes
         if checksum:
             parts.append(content_checksum(data).to_bytes(4, "little"))
         outs.append(b"".join(parts))
+    return outs
+
+
+def _assemble_native(
+    items, spans, contents, clens, btypes, lens_np, cfg, checksum
+) -> list[bytes] | None:
+    """Join blocks into frames via csrc/tpu_zstd_native.cpp; None -> fallback."""
+    if any(len(d) == 0 for d in items):
+        return None  # empty-frame special case stays on the Python path
+    try:
+        from ..utils.native import assemble_frames
+    except Exception:
+        return None
+    headers = [
+        write_frame_header(
+            len(d), checksum=checksum, dict_id=cfg.dict_id, window_log=cfg.window_log
+        )
+        for d in items
+    ]
+    checks = (
+        [content_checksum(d).to_bytes(4, "little") for d in items] if checksum else None
+    )
+    firsts = np.array([s[0] for s in spans], dtype=np.int32)
+    counts = np.array([s[1] for s in spans], dtype=np.int32)
+    blob = assemble_frames(
+        contents, clens, btypes, lens_np[: len(clens)], firsts, counts, headers, checks
+    )
+    if blob is None:
+        return None
+    # Split the blob back into per-item frames by recomputing sizes.
+    outs = []
+    pos = 0
+    for (first, nb), hdr in zip(spans, headers):
+        size = len(hdr) + sum(
+            3 + (1 if int(btypes[first + k]) == BLOCK_RLE else int(clens[first + k]))
+            for k in range(nb)
+        )
+        if checksum:
+            size += 4
+        outs.append(blob[pos : pos + size])
+        pos += size
     return outs
 
 

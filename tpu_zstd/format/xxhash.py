@@ -138,5 +138,17 @@ def xxh32(data: bytes | bytearray | memoryview | np.ndarray, seed: int = 0) -> i
 
 
 def content_checksum(data: bytes) -> int:
-    """Frame content checksum: low 32 bits of XXH64(content, 0)."""
+    """Frame content checksum: low 32 bits of XXH64(content, 0).
+
+    Uses the native C++ path (csrc/tpu_zstd_native.cpp) when available — the
+    pure-Python chain is a correctness oracle, not a throughput path."""
+    try:
+        from ..utils.native import get_native
+
+        lib = get_native()
+        if lib is not None:
+            data = bytes(data)
+            return int(lib.tz_xxh64(data, len(data), 0)) & 0xFFFFFFFF
+    except Exception:
+        pass
     return xxh64(data, 0) & 0xFFFFFFFF

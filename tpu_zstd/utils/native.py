@@ -1,0 +1,122 @@
+"""ctypes loader for the native host runtime (csrc/tpu_zstd_native.cpp).
+
+Builds the shared library on first use (g++, cached beside the source) and
+exposes XXH64/32 and the frame assembler. Every entry point has a pure-Python
+fallback so the package works without a toolchain — mirroring the reference's
+graceful no-GPU fallback (reference python/cuda_zstd/__init__.py:146).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_CSRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "csrc")
+_SRC = os.path.join(_CSRC, "tpu_zstd_native.cpp")
+_LIB = os.path.join(_CSRC, "build", "libtpu_zstd_native.so")
+
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_tried = False
+
+
+def _build() -> bool:
+    os.makedirs(os.path.dirname(_LIB), exist_ok=True)
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _LIB],
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def get_native() -> ctypes.CDLL | None:
+    """The native library, building it on first call; None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+            if not os.path.exists(_SRC) or not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB)
+        except OSError:
+            return None
+        lib.tz_xxh64.restype = ctypes.c_uint64
+        lib.tz_xxh64.argtypes = [ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64]
+        lib.tz_xxh32.restype = ctypes.c_uint32
+        lib.tz_xxh32.argtypes = [ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint32]
+        lib.tz_assemble_frames.restype = ctypes.c_int64
+        lib.tz_assemble_frames.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        _lib = lib
+        return _lib
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    lib = get_native()
+    if lib is not None:
+        return int(lib.tz_xxh64(data, len(data), seed))
+    from ..format.xxhash import xxh64 as py_xxh64
+
+    return py_xxh64(data, seed)
+
+
+def xxh32(data: bytes, seed: int = 0) -> int:
+    lib = get_native()
+    if lib is not None:
+        return int(lib.tz_xxh32(data, len(data), seed))
+    from ..format.xxhash import xxh32 as py_xxh32
+
+    return py_xxh32(data, seed)
+
+
+def assemble_frames(
+    contents: np.ndarray,
+    lens: np.ndarray,
+    types: np.ndarray,
+    raw_lens: np.ndarray,
+    firsts: np.ndarray,
+    counts: np.ndarray,
+    headers: list[bytes],
+    checksums: list[bytes] | None,
+) -> bytes | None:
+    """Native frame join; None when the library is unavailable (caller falls
+    back to Python concatenation)."""
+    lib = get_native()
+    if lib is None:
+        return None
+    contents = np.ascontiguousarray(contents, dtype=np.uint8)
+    lens = np.ascontiguousarray(lens, dtype=np.int32)
+    types = np.ascontiguousarray(types, dtype=np.int32)
+    raw_lens = np.ascontiguousarray(raw_lens, dtype=np.int32)
+    firsts = np.ascontiguousarray(firsts, dtype=np.int32)
+    counts = np.ascontiguousarray(counts, dtype=np.int32)
+    hdr_blob = b"".join(headers)
+    hdr_lens = np.array([len(h) for h in headers], dtype=np.int32)
+    checks_blob = b"".join(checksums) if checksums is not None else None
+    out_cap = int(lens.sum()) + 3 * len(lens) + len(hdr_blob) + 4 * len(headers) + 64
+    out = np.empty(out_cap, dtype=np.uint8)
+    n = lib.tz_assemble_frames(
+        contents.ctypes.data, contents.shape[1],
+        lens.ctypes.data, types.ctypes.data, raw_lens.ctypes.data,
+        firsts.ctypes.data, counts.ctypes.data, len(headers),
+        hdr_blob, hdr_lens.ctypes.data,
+        checks_blob, out_cap, out.ctypes.data,
+    )
+    if n < 0:
+        return None
+    return out[:n].tobytes()
