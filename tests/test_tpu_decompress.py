@@ -1,0 +1,76 @@
+"""TPU (device-side) decompression tests.
+
+Mirrors the reference's decompression coverage (tests/test_roundtrip.cu,
+test_fse_sequence_decode.cu, sequence execution in test_sequence_encoder.cu):
+device FSE sequence decode + parallel sequence execution, validated on frames
+from BOTH our encoder and stock libzstd (all table modes, huffman literals,
+cross-block matches, repcode carry)."""
+
+import numpy as np
+import pytest
+import zstandard as zstd
+
+from tpu_zstd.api.decompress import decompress_batch_tpu
+from tpu_zstd.ops.pipeline import PipelineConfig, compress
+
+CFG = PipelineConfig(block_size=4096, hash_log=13)
+
+
+def test_own_frames_batch(corpus):
+    names = [n for n in corpus if n != "multiblock"]
+    frames = [compress(corpus[n], CFG, checksum=True) for n in names]
+    outs = decompress_batch_tpu(frames, max_block=4096, window_cap=4096)
+    for n, o in zip(names, outs):
+        assert o == corpus[n], n
+
+
+def test_own_multiblock(corpus):
+    data = corpus["multiblock"]
+    frames = [compress(data, CFG)]
+    outs = decompress_batch_tpu(frames, max_block=4096, window_cap=4096)
+    assert outs[0] == data
+
+
+def test_libzstd_frames_all_levels(rng):
+    data = (
+        b"cross-block window test: " * 3000
+        + rng.integers(0, 256, 30000, dtype=np.uint8).tobytes()
+        + b"tail repetition " * 1000
+    )
+    for level in (1, 3, 9, 19, 22):
+        c = zstd.ZstdCompressor(level=level, write_checksum=True).compress(data)
+        out = decompress_batch_tpu([c])[0]
+        assert out == data, f"level {level}"
+
+
+def test_libzstd_small_inputs():
+    for data in (b"", b"a", b"ab" * 40):
+        c = zstd.ZstdCompressor(level=3).compress(data)
+        assert decompress_batch_tpu([c])[0] == data
+
+
+def test_checksum_verification(corpus):
+    data = corpus["text"]
+    c = bytearray(compress(data, CFG, checksum=True))
+    c[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="checksum"):
+        decompress_batch_tpu([bytes(c)], max_block=4096, window_cap=4096)
+
+
+def test_mixed_batch_sizes(rng):
+    datas = [
+        rng.integers(0, 16, int(n), dtype=np.uint8).tobytes()
+        for n in rng.integers(1, 12000, 7)
+    ]
+    frames = [compress(d, CFG) for d in datas]
+    outs = decompress_batch_tpu(frames, max_block=4096, window_cap=4096)
+    for d, o in zip(datas, outs):
+        assert o == d
+
+
+def test_rep_offset_rich_stream():
+    """Stress repcode resolution: alternate two offsets with tiny literals."""
+    unit = b"AAAABBBBCCCCDDDD"
+    data = (unit + b"x" + unit + unit + b"y" + unit) * 200
+    c = zstd.ZstdCompressor(level=5).compress(data)
+    assert decompress_batch_tpu([c])[0] == data

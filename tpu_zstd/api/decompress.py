@@ -1,0 +1,243 @@
+"""Batched TPU decompression driver: host framing -> device decode kernels.
+
+Counterpart of the reference's decompress stack driver
+(reference src/cuda_zstd_manager.cu:3194-3780: frame parse, per-block loop
+with Raw/RLE/Compressed handling, literals :4981, sequences :5106 with
+Predefined/RLE/FSE/Repeat table modes and prev-table persistence
+:5227-5265). Section headers and entropy TABLES are parsed/built on the host
+(they are tiny); the bulk bit-serial sequence decode and the full sequence
+execution run on device (ops/decode_jax.py). Huffman literal payloads are
+currently decoded by the host format layer (the device-side speculative
+4-stream decoder is future work — the reference's equivalent is
+huffman.cu:2204).
+
+Blocks at the same index across frames decode as one device batch; the
+decoded window and repcode state carry to the next block index (RFC 8878
+§3.1.1.5), so multi-block frames and cross-block matches are supported.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..constants import (
+    BLOCK_COMPRESSED,
+    BLOCK_RAW,
+    BLOCK_RLE,
+    REPCODE_INIT,
+    SKIPPABLE_MAGIC_MAX,
+    SKIPPABLE_MAGIC_MIN,
+)
+from ..format import huffman as hufmod
+from ..format.frame import decode_literals_section, parse_frame_header
+from ..format.sequences import SeqDecodeTables, read_nbseq, read_sequence_table
+from ..format.xxhash import content_checksum
+from ..constants import (
+    LL_DEFAULT_LOG,
+    LL_DEFAULT_NORM,
+    ML_DEFAULT_LOG,
+    ML_DEFAULT_NORM,
+    OF_DEFAULT_LOG,
+    OF_DEFAULT_NORM,
+)
+
+MAX_SEQS_DEC = 44032  # ceil(128K / 3) chunk-aligned
+TSIZE_MAX = 512
+
+
+class _BlockPlan:
+    """Host-parsed decode plan for one Compressed block."""
+
+    __slots__ = ("lits", "nlit", "stream", "total_bits", "tables", "nbseq")
+
+    def __init__(self, lits, nlit, stream, total_bits, tables, nbseq):
+        self.lits = lits
+        self.nlit = nlit
+        self.stream = stream
+        self.total_bits = total_bits
+        self.tables = tables  # (sym, nb, ns, logs) numpy or None when nbseq==0
+        self.nbseq = nbseq
+
+
+def _dense_tables(dts) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    sym = np.zeros((3, TSIZE_MAX), np.int32)
+    nb = np.zeros((3, TSIZE_MAX), np.int32)
+    ns = np.zeros((3, TSIZE_MAX), np.int32)
+    logs = np.zeros(3, np.int32)
+    for i, dt in enumerate(dts):  # order LL, OF, ML
+        size = dt.table_size
+        sym[i, :size] = dt.symbol
+        nb[i, :size] = dt.nb_bits
+        ns[i, :size] = dt.new_state
+        logs[i] = dt.table_log
+    return sym, nb, ns, logs
+
+
+def _parse_block_plan(
+    body: bytes, prev_tables: SeqDecodeTables | None, prev_huf
+) -> tuple[_BlockPlan, SeqDecodeTables | None, object]:
+    lit = decode_literals_section(body, prev_huf)
+    rest = body[lit.consumed :]
+    nbseq, pos = read_nbseq(rest)
+    if nbseq == 0:
+        return _BlockPlan(lit.data, len(lit.data), b"", 0, None, 0), prev_tables, lit.huff_table
+    modes = rest[pos]
+    pos += 1
+    ll_mode = (modes >> 6) & 3
+    of_mode = (modes >> 4) & 3
+    ml_mode = (modes >> 2) & 3
+    dt_ll, c = read_sequence_table(
+        rest[pos:], ll_mode, prev_tables.ll if prev_tables else None,
+        LL_DEFAULT_NORM, LL_DEFAULT_LOG, 35,
+    )
+    pos += c
+    dt_of, c = read_sequence_table(
+        rest[pos:], of_mode, prev_tables.of if prev_tables else None,
+        OF_DEFAULT_NORM, OF_DEFAULT_LOG, 31,
+    )
+    pos += c
+    dt_ml, c = read_sequence_table(
+        rest[pos:], ml_mode, prev_tables.ml if prev_tables else None,
+        ML_DEFAULT_NORM, ML_DEFAULT_LOG, 52,
+    )
+    pos += c
+    stream = rest[pos:]
+    if not stream or stream[-1] == 0:
+        raise ValueError("corrupt sequence bitstream (bad sentinel)")
+    sentinel = stream[-1].bit_length() - 1
+    total_bits = (len(stream) - 1) * 8 + sentinel
+    plan = _BlockPlan(
+        lit.data, len(lit.data), stream, total_bits, _dense_tables((dt_ll, dt_of, dt_ml)), nbseq
+    )
+    return plan, SeqDecodeTables(dt_ll, dt_of, dt_ml), lit.huff_table
+
+
+def decompress_batch_tpu(
+    frames: list[bytes],
+    max_block: int = 128 * 1024,
+    window_cap: int = 128 * 1024,
+    verify_checksum: bool = True,
+) -> list[bytes]:
+    """Decompress a batch of zstd frames with device-side block decode."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.decode_jax import SeqTables, decode_sequences_device, execute_sequences_device
+    from .manager import _bucket
+
+    nf = len(frames)
+    outputs: list[bytearray] = [bytearray() for _ in range(nf)]
+    cursors = []
+    hdrs = []
+    for f in frames:
+        pos = 0
+        while True:
+            magic = int.from_bytes(f[pos : pos + 4], "little")
+            if SKIPPABLE_MAGIC_MIN <= magic <= SKIPPABLE_MAGIC_MAX:
+                pos += 8 + int.from_bytes(f[pos + 4 : pos + 8], "little")
+                continue
+            break
+        hdr = parse_frame_header(f[pos:])
+        hdrs.append(hdr)
+        cursors.append(pos + hdr.header_size)
+    done = [False] * nf
+    reps = [list(REPCODE_INIT) for _ in range(nf)]
+    seq_tables: list[SeqDecodeTables | None] = [None] * nf
+    huf_tables = [None] * nf
+
+    while not all(done):
+        # Parse the next block of every unfinished frame.
+        plans: dict[int, _BlockPlan] = {}
+        for i, f in enumerate(frames):
+            if done[i]:
+                continue
+            pos = cursors[i]
+            bh = int.from_bytes(f[pos : pos + 3], "little")
+            pos += 3
+            last, btype, bsize = bh & 1, (bh >> 1) & 3, bh >> 3
+            if btype == BLOCK_RAW:
+                outputs[i] += f[pos : pos + bsize]
+                pos += bsize
+            elif btype == BLOCK_RLE:
+                outputs[i] += bytes([f[pos]]) * bsize
+                pos += 1
+            elif btype == BLOCK_COMPRESSED:
+                body = f[pos : pos + bsize]
+                pos += bsize
+                plan, seq_tables[i], huf_tables[i] = _parse_block_plan(
+                    body, seq_tables[i], huf_tables[i]
+                )
+                plans[i] = plan
+            else:
+                raise ValueError("reserved block type")
+            cursors[i] = pos
+            if last:
+                done[i] = True
+
+        if not plans:
+            continue
+        idxs = sorted(plans)
+        B = _bucket(len(idxs), lo=1)
+        # Device batch: sequence decode + execution with window carry.
+        # (pow2 stream width keeps the jit cache small across batches)
+        swidth = _bucket(max(max(len(plans[i].stream) for i in idxs), 64), lo=64)
+        streams = np.zeros((B, swidth), np.uint8)
+        tbits = np.zeros(B, np.int32)
+        sym = np.zeros((B, 3, TSIZE_MAX), np.int32)
+        nb = np.zeros((B, 3, TSIZE_MAX), np.int32)
+        ns = np.zeros((B, 3, TSIZE_MAX), np.int32)
+        logs = np.zeros((B, 3), np.int32)
+        nseq = np.zeros(B, np.int32)
+        lits = np.zeros((B, max_block), np.uint8)
+        nlit = np.zeros(B, np.int32)
+        window = np.zeros((B, window_cap), np.uint8)
+        rep0 = np.zeros((B, 3), np.int32)
+        for bi, i in enumerate(idxs):
+            p = plans[i]
+            streams[bi, : len(p.stream)] = np.frombuffer(p.stream, np.uint8)
+            tbits[bi] = p.total_bits
+            nseq[bi] = p.nbseq
+            lits[bi, : p.nlit] = np.frombuffer(p.lits, np.uint8)
+            nlit[bi] = p.nlit
+            if p.tables is not None:
+                sym[bi], nb[bi], ns[bi], logs[bi] = p.tables
+            tail = bytes(outputs[i][-window_cap:])
+            if tail:
+                window[bi, window_cap - len(tail) :] = np.frombuffer(tail, np.uint8)
+            rep0[bi] = reps[i]
+
+        if nseq.max() > 0:
+            tables = SeqTables(
+                jnp.asarray(sym), jnp.asarray(nb), jnp.asarray(ns), jnp.asarray(logs)
+            )
+            ll, ml, off, rep_fin = decode_sequences_device(
+                jnp.asarray(streams), jnp.asarray(tbits), tables,
+                jnp.asarray(nseq), jnp.asarray(rep0), MAX_SEQS_DEC,
+            )
+            out, out_len = execute_sequences_device(
+                jnp.asarray(lits), jnp.asarray(nlit), ll, ml, off,
+                jnp.asarray(nseq), jnp.asarray(window), max_block, window_cap,
+            )
+            out, out_len, rep_fin = jax.device_get((out, out_len, rep_fin))
+            for bi, i in enumerate(idxs):
+                outputs[i] += out[bi, : out_len[bi]].tobytes()
+                if plans[i].nbseq > 0:
+                    reps[i] = [int(x) for x in rep_fin[bi]]
+        else:
+            for bi, i in enumerate(idxs):
+                outputs[i] += plans[i].lits
+
+    results = []
+    for i, f in enumerate(frames):
+        out = bytes(outputs[i])
+        hdr = hdrs[i]
+        if hdr.has_checksum and verify_checksum:
+            stored = int.from_bytes(f[cursors[i] : cursors[i] + 4], "little")
+            if stored != content_checksum(out):
+                raise ValueError(f"content checksum mismatch (frame {i})")
+        if hdr.content_size is not None and len(out) != hdr.content_size:
+            raise ValueError(
+                f"content size mismatch (frame {i}): {len(out)} != {hdr.content_size}"
+            )
+        results.append(out)
+    return results

@@ -117,11 +117,19 @@ class Manager:
 
     def decompress(self, data: bytes, max_output_size: int | None = None) -> bytes:
         t0 = time.perf_counter()
-        out = _decompress_host(
-            data,
-            max_output_size,
-            verify=self.config.checksum == ChecksumPolicy.COMPUTE_AND_VERIFY,
-        )
+        if self.execution_path in (ExecutionPath.TPU_BATCH, ExecutionPath.TPU_CHUNK):
+            from .decompress import decompress_batch_tpu
+
+            out = decompress_batch_tpu(
+                [data],
+                verify_checksum=self.config.checksum != ChecksumPolicy.NONE,
+            )[0]
+        else:
+            out = _decompress_host(
+                data,
+                max_output_size,
+                verify=self.config.checksum == ChecksumPolicy.COMPUTE_AND_VERIFY,
+            )
         dt = time.perf_counter() - t0
         self.stats.total_decompress_calls += 1
         self.stats.total_decompress_time_s += dt
@@ -328,9 +336,23 @@ class BatchManager:
         self.stats.total_compress_time_s += dt
         return norm
 
-    def decompress_batch(self, items: list[BatchItem] | list[bytes]) -> list[BatchItem]:
+    def decompress_batch(
+        self, items: list[BatchItem] | list[bytes], use_tpu: bool = False
+    ) -> list[BatchItem]:
         t0 = time.perf_counter()
         norm = [it if isinstance(it, BatchItem) else BatchItem(it) for it in items]
+        if use_tpu:
+            from .decompress import decompress_batch_tpu
+
+            try:
+                outs = decompress_batch_tpu([it.data for it in norm])
+                for it, out in zip(norm, outs):
+                    it.output, it.status = out, Status.SUCCESS
+                self.stats.total_decompress_calls += 1
+                self.stats.total_decompress_time_s += time.perf_counter() - t0
+                return norm
+            except Exception:
+                pass  # fall through to the per-item host path with statuses
         for it in norm:
             try:
                 it.output = _decompress_host(it.data)

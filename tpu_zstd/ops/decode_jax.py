@@ -1,0 +1,258 @@
+"""TPU-parallel decompression: FSE sequence decode + sequence execution.
+
+Counterpart of the reference's decompression stack (reference
+src/cuda_zstd_manager.cu:3194-3780 `decompress`, :4292 `decompress_block`,
+src/cuda_zstd_fse.cu:3839 `k_decode_sequences_interleaved`,
+src/cuda_zstd_sequence.cu:459 `execute_sequences` 3-pass executor), designed
+for the TPU's cost model:
+
+- FSE sequence decode is a strict bit-serial chain (state values depend on
+  consumed bit counts), so it runs as ONE dynamic-length while_loop whose
+  body is vectorized across every block in the batch — the batch dimension,
+  not the chain, provides the parallelism (the reference's 8-stream batch
+  pool plays the same role, manager.cu:5540).
+- Repcode resolution (RFC 8878 §3.1.1.5) is folded into the same loop (the
+  reference resolves repcodes in its sequential Pass 1, sequence.cu:209).
+- Sequence execution is fully parallel: per-position source maps built from
+  diff-arrays + cumsums, match chains resolved by pointer doubling (log2 N
+  gather rounds), literals applied with one final gather. This replaces the
+  reference's sequential Pass-3 copy kernel (sequence.cu:347) entirely.
+
+Host-side framing/section parsing lives in api/decompress.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import LL_BASELINE, LL_BITS, ML_BASELINE, ML_BITS
+
+I32 = jnp.int32
+U32 = jnp.uint32
+
+MAX_TABLE_LOG = 9  # RFC limits: LL<=9, OF<=8, ML<=9
+TSIZE_MAX = 1 << MAX_TABLE_LOG
+
+
+class SeqTables(NamedTuple):
+    """Dense per-block decode tables, padded to TSIZE_MAX states.
+
+    Arrays are (B, 3, TSIZE_MAX): axis 1 = (LL, OF, ML)."""
+
+    symbol: jax.Array
+    nb_bits: jax.Array
+    new_state: jax.Array
+    table_log: jax.Array  # (B, 3)
+
+
+def _read_bits(streams: jax.Array, bits_left: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Vectorized backward bitstream read.
+
+    streams: (B, S) uint8; bits_left: (B,) current bit cursor; n: (B,) <= 24.
+    Returns (values, new_bits_left): value = bits [bits_left-n, bits_left).
+    """
+    nl = bits_left - n
+    byte = jnp.maximum(nl >> 3, 0)
+    align = (nl & 7).astype(U32)
+    B = streams.shape[0]
+    rows = jnp.arange(B, dtype=I32)
+    b = [streams[rows, jnp.minimum(byte + k, streams.shape[1] - 1)].astype(U32) for k in range(5)]
+    lo = b[0] | (b[1] << 8) | (b[2] << 16) | (b[3] << 24)
+    v = (lo >> align) | jnp.where(align == 0, U32(0), (b[4] << (U32(32) - jnp.maximum(align, U32(1)))))
+    mask = jnp.where(n >= 32, U32(0xFFFFFFFF), (U32(1) << jnp.minimum(n, 31).astype(U32)) - U32(1))
+    return (v & mask).astype(I32), nl
+
+
+def _read_wide(streams, bits_left, n):
+    """Read up to 31 bits as two <=16-bit reads (hi bits first)."""
+    n1 = jnp.maximum(n - 16, 0)
+    hi, bits_left = _read_bits(streams, bits_left, n1)
+    n2 = jnp.minimum(n, 16)
+    lo, bits_left = _read_bits(streams, bits_left, n2)
+    return (hi << jnp.minimum(n, 16)) | lo, bits_left
+
+
+@functools.partial(jax.jit, static_argnums=(5,))
+def decode_sequences_device(
+    streams: jax.Array,      # (B, S) uint8 sequence bitstreams
+    total_bits: jax.Array,   # (B,) data bits (sentinel stripped)
+    tables: SeqTables,
+    nseq: jax.Array,         # (B,)
+    rep_init: jax.Array,     # (B, 3) initial repeat offsets
+    max_seqs: int,
+):
+    """Decode interleaved FSE sequences for a batch of blocks.
+
+    Returns (ll, ml, off, rep_final): (B, max_seqs) resolved values.
+    """
+    B = streams.shape[0]
+    rows = jnp.arange(B, dtype=I32)
+    ll_base = jnp.asarray(LL_BASELINE.astype(np.int32))
+    ll_bits = jnp.asarray(LL_BITS.astype(np.int32))
+    ml_base = jnp.asarray(ML_BASELINE.astype(np.int32))
+    ml_bits = jnp.asarray(ML_BITS.astype(np.int32))
+
+    tl = tables.table_log
+    # Init states: LL, OF, ML (RFC order), each table_log bits.
+    bits_left = total_bits
+    st_ll, bits_left = _read_bits(streams, bits_left, tl[:, 0])
+    st_of, bits_left = _read_bits(streams, bits_left, tl[:, 1])
+    st_ml, bits_left = _read_bits(streams, bits_left, tl[:, 2])
+
+    def tab(field, stream_idx, state):
+        return field[rows, stream_idx, jnp.clip(state, 0, TSIZE_MAX - 1)]
+
+    out_ll = jnp.zeros((B, max_seqs), I32)
+    out_ml = jnp.zeros((B, max_seqs), I32)
+    out_off = jnp.zeros((B, max_seqs), I32)
+
+    max_n = jnp.max(nseq)
+
+    def cond(carry):
+        t = carry[0]
+        return t < max_n
+
+    def body(carry):
+        (t, bits_left, st_ll, st_of, st_ml, rep, out_ll, out_ml, out_off) = carry
+        active = t < nseq
+        ofc = tab(tables.symbol, 1, st_of)
+        mlc = tab(tables.symbol, 2, st_ml)
+        llc = tab(tables.symbol, 0, st_ll)
+        # OF extra (wide), then ML extra, then LL extra.
+        ofx, bl = _read_wide(streams, bits_left, jnp.where(active, ofc, 0))
+        ofv = jnp.where(ofc > 0, (1 << jnp.minimum(ofc, 30)) + ofx, 1)
+        mlx, bl = _read_bits(streams, bl, jnp.where(active, ml_bits[jnp.clip(mlc, 0, 52)], 0))
+        ml = ml_base[jnp.clip(mlc, 0, 52)] + mlx
+        llx, bl = _read_bits(streams, bl, jnp.where(active, ll_bits[jnp.clip(llc, 0, 35)], 0))
+        ll = ll_base[jnp.clip(llc, 0, 35)] + llx
+        # Repcode resolution (mirrors format/sequences.py resolve_offset):
+        #   ofv>3 -> off=ofv-3, rep'=[off,r0,r1]
+        #   idx=0 -> r0 (unchanged) | idx=1 -> [r1,r0,r2] | idx=2 -> [r2,r0,r1]
+        #   idx=3 -> off=r0-1, rep'=[off,r0,r1]
+        r0, r1, r2 = rep[:, 0], rep[:, 1], rep[:, 2]
+        idx = ofv - 1 + (ll == 0).astype(I32)
+        off_rep = jnp.where(
+            idx == 0, r0,
+            jnp.where(idx == 1, r1, jnp.where(idx == 2, r2, jnp.maximum(r0 - 1, 1))),
+        )
+        is_lit_off = ofv > 3
+        off = jnp.where(is_lit_off, ofv - 3, off_rep)
+        n1 = jnp.where(is_lit_off, r0, jnp.where(idx == 0, r1, r0))
+        n2 = jnp.where(is_lit_off, r1, jnp.where(idx <= 1, r2, r1))
+        rep_new = jnp.stack([off, n1, n2], axis=1)
+        rep = jnp.where(active[:, None], rep_new, rep)
+        # State updates (LL, ML, OF order) — skipped for the final sequence.
+        upd = active & (t < nseq - 1)
+        nb = jnp.where(upd, tab(tables.nb_bits, 0, st_ll), 0)
+        v, bl = _read_bits(streams, bl, nb)
+        st_ll = jnp.where(upd, tab(tables.new_state, 0, st_ll) + v, st_ll)
+        nb = jnp.where(upd, tab(tables.nb_bits, 2, st_ml), 0)
+        v, bl = _read_bits(streams, bl, nb)
+        st_ml = jnp.where(upd, tab(tables.new_state, 2, st_ml) + v, st_ml)
+        nb = jnp.where(upd, tab(tables.nb_bits, 1, st_of), 0)
+        v, bl = _read_bits(streams, bl, nb)
+        st_of = jnp.where(upd, tab(tables.new_state, 1, st_of) + v, st_of)
+        bits_left = jnp.where(active, bl, bits_left)
+        col = jnp.minimum(t, max_seqs - 1)
+        out_ll = jax.lax.dynamic_update_slice(out_ll, jnp.where(active, ll, 0)[:, None], (0, col))
+        out_ml = jax.lax.dynamic_update_slice(out_ml, jnp.where(active, ml, 0)[:, None], (0, col))
+        out_off = jax.lax.dynamic_update_slice(out_off, jnp.where(active, off, 0)[:, None], (0, col))
+        return (t + 1, bits_left, st_ll, st_of, st_ml, rep, out_ll, out_ml, out_off)
+
+    init = (jnp.zeros((), I32), bits_left, st_ll, st_of, st_ml, rep_init, out_ll, out_ml, out_off)
+    (_, _, _, _, _, rep, out_ll, out_ml, out_off) = jax.lax.while_loop(cond, body, init)
+    return out_ll, out_ml, out_off, rep
+
+
+@functools.partial(jax.jit, static_argnums=(7, 8))
+def execute_sequences_device(
+    lits: jax.Array,     # (B, L) uint8 literal bytes (front-compacted)
+    nlit: jax.Array,     # (B,) total literal count
+    ll: jax.Array,       # (B, MS)
+    ml: jax.Array,       # (B, MS)
+    off: jax.Array,      # (B, MS) resolved offsets
+    nseq: jax.Array,     # (B,)
+    window: jax.Array,   # (B, W) uint8 decoded history (dictionary / prior blocks)
+    out_size: int,
+    win_size: int,
+):
+    """Regenerate block contents (RFC 8878 §3.1.1.4) fully in parallel.
+
+    Returns (out (B, out_size) uint8, out_len (B,)). Matches may reference the
+    window (positions before the block) and freshly-written output (overlap
+    copies) — both resolved by pointer doubling over the source map.
+    """
+    B, MS = ll.shape
+    N = out_size
+    W = win_size
+    k = jnp.arange(MS, dtype=I32)
+    valid = k < nseq[:, None]
+    llv = jnp.where(valid, ll, 0)
+    mlv = jnp.where(valid, ml, 0)
+
+    adv = llv + mlv
+    out_start = jnp.cumsum(adv, axis=1) - adv          # seq output start
+    lit_start = jnp.cumsum(llv, axis=1) - llv          # seq literal start
+    match_start = out_start + llv
+    total_seq_out = out_start[:, -1] + adv[:, -1]
+    total_lits_used = lit_start[:, -1] + llv[:, -1]
+
+    # is_match per output position via diff array.
+    pos = jnp.arange(N, dtype=I32)
+    ms_idx = jnp.where(valid & (mlv > 0), match_start, N)
+    me_idx = jnp.where(valid & (mlv > 0), match_start + mlv, N)
+    diff = jnp.zeros((B, N + 1), I32)
+    rows = jnp.arange(B, dtype=I32)[:, None]
+    diff = diff.at[rows, ms_idx].add(jnp.where(valid & (mlv > 0), 1, 0), mode="drop")
+    diff = diff.at[rows, me_idx].add(jnp.where(valid & (mlv > 0), -1, 0), mode="drop")
+    in_match = jnp.cumsum(diff[:, :N], axis=1) > 0
+
+    # Offset per match position: scatter per-seq offsets at match starts, then
+    # index by match-run id.
+    seq_of_run = jnp.zeros((B, MS + 1), I32)
+    run_rank = jnp.cumsum((valid & (mlv > 0)).astype(I32), axis=1) - 1
+    sidx = jnp.where(valid & (mlv > 0), run_rank, MS)
+    seq_of_run = seq_of_run.at[rows, sidx].set(jnp.where(valid, off, 0), mode="drop")
+    is_mstart = jnp.zeros((B, N + 1), I32).at[rows, ms_idx].add(
+        jnp.where(valid & (mlv > 0), 1, 0), mode="drop"
+    )[:, :N]
+    run_id = jnp.cumsum(is_mstart, axis=1) - 1
+    off_at = jnp.take_along_axis(seq_of_run, jnp.clip(run_id, 0, MS), axis=1)
+
+    # Literal index per non-match position: j minus match bytes before j.
+    match_before = jnp.cumsum(in_match.astype(I32), axis=1) - in_match.astype(I32)
+    lit_idx = pos[None, :] - match_before
+
+    # Source map: literal positions (including tail literals after the last
+    # sequence) -> -(lit_idx+1); match at j -> window-inclusive (W + j) - off.
+    L = lits.shape[1]
+    src = jnp.where(in_match, W + pos[None, :] - off_at, -lit_idx - 1)
+    # Window references resolve immediately: encode window byte w in [0, W)
+    # as -(L + w) - 1 so the final gather splits the two terminal spaces.
+    src = jnp.where(
+        (src >= 0) & (src < W), -(L + src) - 1, jnp.where(src >= 0, src - W, src)
+    )
+
+    # Pointer doubling: chase match chains to literal/window sources.
+    nrounds = max(1, (N - 1).bit_length())
+    for _ in range(nrounds):
+        chased = jnp.take_along_axis(src, jnp.clip(src, 0, N - 1), axis=1)
+        src = jnp.where(src >= 0, chased, src)
+
+    # All sources now terminal (negative). Decode the two spaces.
+    term = -src - 1  # literal index or L + window index
+    from_window = term >= L
+    lit_gather = jnp.take_along_axis(lits, jnp.clip(term, 0, L - 1), axis=1)
+    win_gather = (
+        jnp.take_along_axis(window, jnp.clip(term - L, 0, max(W - 1, 0)), axis=1)
+        if W > 0
+        else jnp.zeros((B, N), jnp.uint8)
+    )
+    out = jnp.where(from_window, win_gather, lit_gather)
+    out_len = total_seq_out + (nlit - total_lits_used)
+    return out, out_len
