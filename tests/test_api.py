@@ -175,3 +175,47 @@ def test_decompress_libzstd_produced(corpus):
     data = corpus["mixed"]
     c = zstd.ZstdCompressor(level=7).compress(data)
     assert tpu_zstd.decompress(c) == data
+
+
+def test_streaming_window_history(dctx):
+    """Cross-chunk matches via window history (reference
+    compress_chunk_with_history, manager.cu:6327-6420)."""
+    import numpy as np
+
+    cfg = CompressionConfig.from_level(5)
+    cfg.block_size = 4096
+    cfg.hash_log = 13
+    c1 = bytes(np.random.default_rng(5).integers(0, 256, 4000, np.uint8))
+    sm = StreamingManager(config=cfg, window_history=True)
+    out = sm.compress_chunk(c1) + sm.compress_chunk(c1) + sm.flush()
+    assert dctx.decompress(out, max_output_size=8000) == c1 + c1
+    sm2 = StreamingManager(config=cfg, window_history=False)
+    out2 = sm2.compress_chunk(c1) + sm2.compress_chunk(c1) + sm2.flush()
+    assert len(out) < len(out2) // 1.5, "history should catch the repeat"
+
+
+def test_ldm_cross_block_window(dctx):
+    import numpy as np
+    from tpu_zstd.api.manager import compress_items_tpu
+
+    cfg = CompressionConfig.from_level(5)
+    cfg.block_size = 4096
+    cfg.hash_log = 13
+    blockful = bytes(np.random.default_rng(6).integers(0, 256, 4000, np.uint8))
+    data = blockful * 3
+    cfg.enable_ldm = True
+    with_ldm = compress_items_tpu([data], cfg)[0]
+    cfg.enable_ldm = False
+    without = compress_items_tpu([data], cfg)[0]
+    assert dctx.decompress(with_ldm, max_output_size=len(data)) == data
+    assert len(with_ldm) < len(without) // 2
+
+
+def test_lazy_levels_decode(dctx):
+    data = b"abcabcabcabcxyzxyzabcabc" * 400
+    cfg = CompressionConfig.from_level(7)  # LAZY2 strategy
+    cfg.block_size = 4096
+    cfg.hash_log = 13
+    with Manager(config=cfg, execution_path=ExecutionPath.TPU_BATCH) as m:
+        c = m.compress(data)
+    assert dctx.decompress(c, max_output_size=len(data)) == data

@@ -38,6 +38,8 @@ def _pipeline_config(cfg: CompressionConfig):
         depth=cfg.search_depth,
         cap=cfg.compare_cap,
         min_match=cfg.min_match,
+        lazy=cfg.strategy >= 4,          # Strategy.LAZY and up
+        huffman_literals=cfg.level >= 3,  # FAST levels trade ratio for speed
     )
 
 
@@ -163,45 +165,80 @@ class Manager:
         return compress_items_tpu(items, self.config)
 
 
-def compress_items_tpu(items: list[bytes], cfg: CompressionConfig) -> list[bytes]:
+LDM_WINDOW_CAP = 64 * 1024  # cross-block window size (enable_ldm / streaming history)
+
+
+def compress_items_tpu(
+    items: list[bytes],
+    cfg: CompressionConfig,
+    history: list[bytes] | None = None,
+) -> list[bytes]:
     """Compress a list of buffers on the TPU in ONE device dispatch.
 
     All items' blocks are flattened into a (B, block_size) batch (the TPU
     replacement for the reference's per-item stream dispatch,
     manager.cu:5715-5797), then reassembled into one frame per item.
+
+    With cfg.enable_ldm (or `history`), every block additionally sees the
+    bytes that precede it in the logical stream as a match window — the TPU
+    equivalent of the reference's LDM + streaming window history
+    (ldm_implementation.cu; manager.cu:6327-6420). `history[i]` is prior
+    stream content for item i (streaming chunks).
     """
     import jax
     import jax.numpy as jnp
 
-    from ..ops.pipeline import compress_blocks
+    from ..ops.pipeline import PipelineConfig, compress_blocks, compress_blocks_dict
 
     pcfg = _pipeline_config(cfg)
     N = pcfg.block_size
+    windowed = cfg.enable_ldm or history is not None
+    dcap = LDM_WINDOW_CAP if windowed else 0
+    if windowed:
+        pcfg = PipelineConfig(**{**pcfg.__dict__, "dict_cap": dcap})
+
     spans: list[tuple[int, int]] = []  # (first_block, nblocks) per item
     all_blocks: list[np.ndarray] = []
     lengths: list[int] = []
-    for data in items:
+    dlens: list[int] = []
+    for it_i, data in enumerate(items):
         n = len(data)
         nb = max(1, -(-n // N))
         spans.append((len(all_blocks), nb))
         arr = np.frombuffer(data, dtype=np.uint8)
+        hist = history[it_i] if history is not None else b""
         for b in range(nb):
             chunk = arr[b * N : min((b + 1) * N, n)]
-            buf = np.zeros(N, dtype=np.uint8)
-            buf[: len(chunk)] = chunk
+            buf = np.zeros(dcap + N, dtype=np.uint8)
+            buf[dcap : dcap + len(chunk)] = chunk
+            if windowed:
+                prior = hist + data[: b * N]
+                tail = prior[-dcap:]
+                if tail:
+                    buf[dcap - len(tail) : dcap] = np.frombuffer(tail, np.uint8)
+                dlens.append(len(tail))
             all_blocks.append(buf)
             lengths.append(len(chunk))
     B = len(all_blocks)
     Bpad = _bucket(B)
-    blocks_np = np.zeros((Bpad, N), dtype=np.uint8)
+    blocks_np = np.zeros((Bpad, dcap + N), dtype=np.uint8)
     if B:
         blocks_np[:B] = np.stack(all_blocks)
     lens_np = np.zeros(Bpad, dtype=np.int32)
     lens_np[:B] = lengths
 
-    contents, clens, btypes = jax.device_get(
-        compress_blocks(jnp.asarray(blocks_np), jnp.asarray(lens_np), pcfg)
-    )
+    if windowed:
+        dlens_np = np.zeros(Bpad, dtype=np.int32)
+        dlens_np[:B] = dlens
+        contents, clens, btypes = jax.device_get(
+            compress_blocks_dict(
+                jnp.asarray(blocks_np), jnp.asarray(lens_np), jnp.asarray(dlens_np), pcfg
+            )
+        )
+    else:
+        contents, clens, btypes = jax.device_get(
+            compress_blocks(jnp.asarray(blocks_np), jnp.asarray(lens_np), pcfg)
+        )
 
     checksum = cfg.checksum != ChecksumPolicy.NONE
 
@@ -375,17 +412,27 @@ class StreamingManager:
     block boundaries (the reference's window-history mode is a ratio
     optimization, not a format requirement)."""
 
-    def __init__(self, level: int = 3, config: CompressionConfig | None = None):
+    def __init__(
+        self,
+        level: int = 3,
+        config: CompressionConfig | None = None,
+        window_history: bool = True,
+    ):
         self.config = config or CompressionConfig.from_level(level)
+        self.window_history = window_history
         self.reset()
 
     def reset(self) -> None:
         self._started = False
         self._finished = False
         self._hasher_data = bytearray()
+        self._history = b""
         self.stats = CompressionStats()
 
     def compress_chunk(self, chunk: bytes) -> bytes:
+        """Compress one chunk as frame blocks. With window_history, matches
+        reach back into previous chunks (the reference's
+        compress_chunk_with_history, manager.cu:6327-6420)."""
         if self._finished:
             raise RuntimeError("stream finished; call reset()")
         out = bytearray()
@@ -398,11 +445,13 @@ class StreamingManager:
         if self.config.checksum != ChecksumPolicy.NONE:
             self._hasher_data += chunk
         if chunk:
-            frames = compress_items_tpu([chunk], self.config)[0]
+            hist = [self._history] if self.window_history else None
+            frame = compress_items_tpu([chunk], self.config, history=hist)[0]
             # strip the per-item frame header; keep raw block stream, clearing
             # the `last` flag of the final block.
-            body = _strip_frame_to_blocks(frames, clear_last=True)
-            out += body
+            out += _strip_frame_to_blocks(frame, clear_last=True)
+        if self.window_history:
+            self._history = (self._history + chunk)[-LDM_WINDOW_CAP:]
         self.stats.total_input_bytes += len(chunk)
         self.stats.total_output_bytes += len(out)
         return bytes(out)

@@ -169,57 +169,71 @@ def encode_literals_4stream(
     lits: (N,) uint8 (first nlit valid). Returns (payload[out_cap+8] uint8,
     payload_len, ok). Streams encode their symbols in reverse position order
     (decoders read forward). Requires nlit >= 16 (callers gate on that).
+
+    All four streams deposit in ONE scatter pass: the full literal sequence is
+    reversed once; in reversed coordinates the streams are contiguous slices
+    (stream s at [nlit-end_s, nlit-start_s)), so per-field absolute bit
+    offsets are its stream's byte-aligned bit base plus a segmented prefix
+    sum. No per-lane dynamic slicing (vmapped dynamic-slice = gather).
     """
+    from .bitpack import deposit_bits_at, dynroll, words_to_bytes
+
     N = lits.shape[0]
-    PART = N // 4 + 4
     seg = (nlit + 3) // 4
 
     lit_codes = _lut256(codes, lits.astype(I32))
     lit_lens = _lut256(lengths, lits.astype(I32))
 
-    num_words = (PART * MAX_BITS) // 8 // 4 + 4
-    stream_bytes_list = []
-    words_list = []
-    lens_ok = jnp.ones((), dtype=bool)
-    lits_pad_codes = jnp.concatenate([lit_codes, jnp.zeros(PART, I32)])
-    lits_pad_lens = jnp.concatenate([lit_lens, jnp.zeros(PART, I32)])
-    t_ar = jnp.arange(PART, dtype=I32)
-    for s in range(4):
-        start = seg * s
-        end = jnp.where(s == 3, nlit, jnp.minimum(seg * (s + 1), nlit))
-        plen = jnp.maximum(end - start, 0)
-        pc = jax.lax.dynamic_slice(lits_pad_codes, (start,), (PART,))
-        pl = jax.lax.dynamic_slice(lits_pad_lens, (start,), (PART,))
-        # reverse the valid prefix: rev[t] = part[plen-1-t]
-        rc = jnp.roll(jnp.flip(pc), plen - PART)
-        rl = jnp.roll(jnp.flip(pl), plen - PART)
-        valid = t_ar < plen
-        field_lens = jnp.concatenate([jnp.where(valid, rl, 0), jnp.ones(1, I32)])
-        field_vals = jnp.concatenate([rc, jnp.ones(1, I32)]).astype(U32)
-        words, total_bits = deposit_bits(field_vals, field_lens, num_words)
-        sb = (total_bits + 7) >> 3
-        words_list.append(words)
-        stream_bytes_list.append(sb)
+    # Reversed coordinates: R*[u] = lit[nlit-1-u].
+    rc = dynroll(jnp.flip(lit_codes), (nlit - N) % N, N)
+    rl = dynroll(jnp.flip(lit_lens), (nlit - N) % N, N)
+    u = jnp.arange(N, dtype=I32)
+    valid = u < nlit
+    rl = jnp.where(valid, rl, 0)
 
-    sb = jnp.stack(stream_bytes_list)
+    # Stream slices in u-space (s=3 sits first): [lo_s, hi_s).
+    starts = jnp.stack([seg * 0, seg, seg * 2, seg * 3])
+    ends = jnp.stack([seg, seg * 2, seg * 3, nlit])
+    lo = nlit - ends
+    hi = nlit - starts
+
+    csum = jnp.cumsum(rl)
+    csum_ex = csum - rl
+    csum_pad = jnp.concatenate([csum_ex, csum[-1:]])  # at(i) for i in [0, N]
+
+    def at(i):
+        return csum_pad[jnp.clip(i, 0, N)]
+
+    stream_bits = at(hi) - at(lo)                  # (4,) data bits per stream
+    stream_bytes = (stream_bits + 1 + 7) >> 3      # + sentinel bit
+    byte_base = jnp.cumsum(stream_bytes) - stream_bytes
+    bit_base = byte_base * 8
+
+    s_of_u = jnp.where(u >= lo[0], 0, jnp.where(u >= lo[1], 1, jnp.where(u >= lo[2], 2, 3)))
+    sel = lambda arr: jnp.where(
+        s_of_u == 0, arr[0], jnp.where(s_of_u == 1, arr[1], jnp.where(s_of_u == 2, arr[2], arr[3]))
+    )
+    offsets = sel(bit_base) + (csum_ex - sel(at(lo)))
+
+    all_vals = jnp.concatenate([rc, jnp.ones(4, I32)]).astype(U32)
+    all_lens = jnp.concatenate([rl, jnp.ones(4, I32)])
+    all_offs = jnp.concatenate([offsets, bit_base + stream_bits])
+
+    num_words = out_cap // 4
+    words = deposit_bits_at(all_vals, all_lens, all_offs, num_words)
+
     jump = jnp.stack(
         [
-            (sb[0] & 0xFF), (sb[0] >> 8) & 0xFF,
-            (sb[1] & 0xFF), (sb[1] >> 8) & 0xFF,
-            (sb[2] & 0xFF), (sb[2] >> 8) & 0xFF,
+            (stream_bytes[0] & 0xFF), (stream_bytes[0] >> 8) & 0xFF,
+            (stream_bytes[1] & 0xFF), (stream_bytes[1] >> 8) & 0xFF,
+            (stream_bytes[2] & 0xFF), (stream_bytes[2] >> 8) & 0xFF,
         ]
     ).astype(jnp.uint8)
-    ok = jnp.all(sb <= 0xFFFF) & (nlit >= 16)
+    ok = jnp.all(stream_bytes <= 0xFFFF) & (nlit >= 16)
 
-    out = jnp.zeros(out_cap + 8, dtype=jnp.uint8)
-    out = jax.lax.dynamic_update_slice(out, jump, (0,))
-    off = jnp.asarray(6, I32)
-    shifts = jnp.arange(4, dtype=U32) * U32(8)
-    for s in range(4):
-        stream = ((words_list[s][:, None] >> shifts[None, :]) & U32(0xFF)).reshape(-1).astype(jnp.uint8)
-        out = jax.lax.dynamic_update_slice(out, stream, (off,))
-        off = off + sb[s]
-    return out, off, ok
+    out = jnp.concatenate([jump, words_to_bytes(words), jnp.zeros(2, jnp.uint8)])
+    payload_len = 6 + jnp.sum(stream_bytes)
+    return out, payload_len, ok
 
 
 def compress_literals_huffman(
@@ -230,14 +244,14 @@ def compress_literals_huffman(
     Returns (payload[out_cap + 8] uint8, payload_len, ok). Callers compare
     against the Raw representation and pick the smaller.
     """
+    from .bitpack import place
+
     hist = literal_histogram(lits, nlit)
     lengths, ok_l = build_lengths(hist, nlit)
     codes = canonical_codes(lengths)
     whdr, wlen, ok_w = weights_header(lengths)
     body, blen, ok_s = encode_literals_4stream(lits, nlit, lengths, codes, out_cap)
-    # NOTE: buffer must exceed len(body) + max header so dynamic_update_slice
-    # never clamps the start offset (clamping would shift the write).
-    out = jnp.zeros(out_cap + 144, dtype=jnp.uint8)
-    out = jax.lax.dynamic_update_slice(out, whdr, (0,))
-    out = jax.lax.dynamic_update_slice(out, body, (wlen,))
+    cap2 = out_cap + 144
+    out = place(whdr, wlen, jnp.zeros((), I32), cap2, 1)
+    out = out + place(body, blen, wlen, cap2, 256)
     return out, wlen + blen, ok_l & ok_w & ok_s

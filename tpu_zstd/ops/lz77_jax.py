@@ -133,32 +133,41 @@ def find_matches(
 
 
 def greedy_parse(
-    step: jax.Array, matched: jax.Array
+    step: jax.Array, matched: jax.Array, defer: jax.Array | None = None
 ) -> tuple[jax.Array, jax.Array]:
-    """Exact greedy parse via one scan over segment-local position index.
+    """Exact greedy (optionally 1-step lazy) parse via one scan over
+    segment-local position index.
 
     step[i]: parse advance at i (match length if taken, else 1), already
     truncated so i + step[i] never crosses a SEG boundary.
+    defer[i]: lazy hint — True when position i+1 has a strictly better match,
+    so the parse emits a literal at i instead (reference lazy strategy,
+    src/lz77_parallel.cu / host format/lz77.py lazy=1).
     Returns (is_seq (N,), is_lit (N,)) in position order.
     """
     N = step.shape[0]
     nseg = N // SEG
     st = step.reshape(nseg, SEG).T          # (SEG, nseg)
     mt = matched.reshape(nseg, SEG).T
+    if defer is None:
+        df = jnp.zeros((SEG, nseg), bool)
+    else:
+        df = defer.reshape(nseg, SEG).T
 
     def body(carry, xs):
         na, me = carry                       # next-allowed, match-end (per segment)
-        p, (stp, m) = xs
+        p, (stp, m, d) = xs
         is_pp = na == p
-        take = is_pp & m
+        take = is_pp & m & ~d
+        adv = jnp.where(take, stp, 1)
         new_me = jnp.where(take, p + stp, me)
-        new_na = jnp.where(is_pp, p + stp, na)
+        new_na = jnp.where(is_pp, p + adv, na)
         is_lit = p >= new_me
-        return (new_na, new_me), (is_pp & m, is_lit)
+        return (new_na, new_me), (take, is_lit)
 
     p_idx = jnp.arange(SEG, dtype=I32)
     init = (jnp.zeros(nseg, I32), jnp.zeros(nseg, I32))
-    _, (is_seq_t, is_lit_t) = jax.lax.scan(body, init, (p_idx, (st, mt)))
+    _, (is_seq_t, is_lit_t) = jax.lax.scan(body, init, (p_idx, (st, mt, df)))
     return is_seq_t.T.reshape(-1), is_lit_t.T.reshape(-1)
 
 
@@ -171,6 +180,7 @@ def parse_block(
     depth: int = 2,
     cap: int = 32,
     min_match: int = 4,
+    lazy: bool = False,
     block_start: jax.Array | int = 0,
     win_start: jax.Array | int = 0,
 ) -> BlockSequences:
@@ -196,7 +206,13 @@ def parse_block(
     matched = (ml_t >= min_match) & (boff > 0) & (pos < n) & (pos >= block_start)
     step = jnp.where(matched, ml_t, 1)
 
-    is_seq, is_lit = greedy_parse(step, matched)
+    defer = None
+    if lazy:
+        next_ml = jnp.roll(ml_t, -1).at[-1].set(0)
+        next_matched = jnp.roll(matched, -1).at[-1].set(False)
+        defer = matched & next_matched & (next_ml > ml_t + 1)
+
+    is_seq, is_lit = greedy_parse(step, matched, defer)
     is_seq = is_seq & (pos < n)
     is_lit = is_lit & (pos < n) & (pos >= block_start)
     nseq = jnp.sum(is_seq.astype(I32))

@@ -39,6 +39,7 @@ class PipelineConfig:
     depth: int = 2
     cap: int = 32
     min_match: int = 4
+    lazy: bool = False  # 1-step lazy parse (Strategy.LAZY and up)
     dict_cap: int = 0  # dictionary-window prefix capacity (0 = no dictionary)
     huffman_literals: bool = True  # compress literals (reference emits Raw only)
 
@@ -79,20 +80,11 @@ def _lit_compressed_header(regen: jax.Array, comp: jax.Array, hdr_len: jax.Array
     return jnp.stack(bytes_out)
 
 
-def _compress_one_block(
-    block: jax.Array, n: jax.Array, cfg: PipelineConfig, dlen: jax.Array | int = 0
-):
-    """block: (dict_cap + N,) uint8 — [padding | dict tail | payload]; the
-    payload occupies [dict_cap, dict_cap + n) and the last `dlen` bytes of the
-    prefix hold dictionary content (match sources only).
-
-    Returns (content[(N,)] uint8, content_len, block_type) — the block body
-    WITHOUT the 3-byte block header (the frame assembler adds it, since the
-    `last` flag is frame-level).
-    """
-    N = cfg.block_size
+def _parse_one(block: jax.Array, n: jax.Array, cfg: PipelineConfig, dlen: jax.Array | int = 0):
+    """Parse stage: block (dict_cap + N,) uint8 — [padding | dict tail |
+    payload] -> BlockSequences (see ops/lz77_jax.py)."""
     DC = cfg.dict_cap
-    seqs = parse_block(
+    return parse_block(
         block,
         DC + n,
         max_seqs=cfg.max_seqs,
@@ -100,10 +92,57 @@ def _compress_one_block(
         depth=cfg.depth,
         cap=cfg.cap,
         min_match=cfg.min_match,
+        lazy=cfg.lazy,
         block_start=DC,
         win_start=DC - dlen,
     )
-    nlit = seqs.nlit
+
+
+def _fse_bucketed(ll, ml, ob, nseq, cfg: PipelineConfig):
+    """Batch-level sequence-section encode with nseq bucketing.
+
+    The FSE state pre-pass costs O(max_seqs x table_size) regardless of the
+    actual sequence count, so the batch picks the smallest power-of-4 bucket
+    covering max(nseq) via lax.switch — a REAL branch at batch level (inside
+    vmap it would degenerate to executing every branch)."""
+    full = cfg.max_seqs
+    buckets = [b for b in (2048, 8192) if b < full] + [full]
+    bmax = jnp.max(nseq)
+    idx = jnp.int32(0)
+    for b in buckets[:-1]:
+        idx = idx + (bmax > b).astype(jnp.int32)
+
+    def mk(msb):
+        def branch(_):
+            return jax.vmap(
+                lambda x, y, z, w: encode_sequences_predefined(
+                    x[:msb], y[:msb], z[:msb], w, msb, cfg.seq_cap
+                )
+            )(ll, ml, ob, nseq)
+
+        return branch
+
+    return jax.lax.switch(idx, [mk(b) for b in buckets], None)
+
+
+def _assemble_one(
+    block: jax.Array,
+    n: jax.Array,
+    lits: jax.Array,
+    nlit: jax.Array,
+    nseq: jax.Array,
+    seq_bytes: jax.Array,
+    seq_len: jax.Array,
+    cfg: PipelineConfig,
+):
+    """Literal section (Raw/Huffman) + block-type decision + body composition.
+
+    Returns (content[(N,)] uint8, content_len, block_type) — the block body
+    WITHOUT the 3-byte block header (the frame assembler adds it, since the
+    `last` flag is frame-level).
+    """
+    N = cfg.block_size
+    DC = cfg.dict_cap
 
     # Raw literals section header (RFC 8878 §3.1.1.3.1.1).
     lit_hdr_len = jnp.where(nlit < 32, 1, jnp.where(nlit < 4096, 2, 3))
@@ -117,22 +156,22 @@ def _compress_one_block(
         ]
     ).astype(jnp.uint8)
 
-    seq_bytes, seq_len = encode_sequences_predefined(
-        seqs.ll, seqs.ml, seqs.ob, seqs.nseq, cfg.max_seqs, cfg.seq_cap
-    )
+    from .bitpack import place
 
-    # Raw literals section: right-align the 1-3 byte header in a 3-byte slot,
-    # then slice so the header's true bytes abut the literals.
-    hdr6 = jax.lax.dynamic_update_slice(jnp.zeros(6, jnp.uint8), lh, (3 - lit_hdr_len,))
-    litsec_raw = jnp.concatenate([hdr6[:3], seqs.lits[:N], jnp.zeros(3, jnp.uint8)])
-    litsec_raw = jax.lax.dynamic_slice(litsec_raw, (3 - lit_hdr_len,), (N + 3,))
+    # Raw literals section: header (1-3 bytes) then literals, composed with
+    # select-based placement (no scatters under vmap).
+    zero = jnp.zeros((), I32)
+    litcap = N + 8
+    litsec_raw = place(lh, lit_hdr_len, zero, litcap, 1) + place(
+        lits[:N], nlit, lit_hdr_len, litcap, 4
+    )
     raw_total = lit_hdr_len + nlit
 
     if cfg.huffman_literals:
         from .huffman_jax import compress_literals_huffman, huff_payload_cap
 
         hcap = huff_payload_cap(N)
-        hpay, hlen, h_ok = compress_literals_huffman(seqs.lits[:N], nlit, hcap)
+        hpay, hlen, h_ok = compress_literals_huffman(lits[:N], nlit, hcap)
         h_hdr_len = jnp.where(
             (nlit < 1024) & (hlen < 1024), 3,
             jnp.where((nlit < 16384) & (hlen < 16384), 4, 5),
@@ -140,16 +179,14 @@ def _compress_one_block(
         hh = _lit_compressed_header(nlit, hlen, h_hdr_len)
         huff_total = h_hdr_len + hlen
         use_h = h_ok & (huff_total < raw_total)
-        litcap = max(N + 3, hcap + 173)
-        litsec_h = jnp.zeros(litcap, dtype=jnp.uint8)
-        litsec_h = jax.lax.dynamic_update_slice(litsec_h, hh, (0,))
-        litsec_h = jax.lax.dynamic_update_slice(litsec_h, hpay, (h_hdr_len,))
-        litsec_r = jnp.zeros(litcap, dtype=jnp.uint8)
-        litsec_r = jax.lax.dynamic_update_slice(litsec_r, litsec_raw, (0,))
+        litcap = max(N + 8, hcap + 160)
+        litsec_h = place(hh, h_hdr_len, zero, litcap, 1) + place(
+            hpay, hlen, h_hdr_len, litcap, 8
+        )
+        litsec_r = place(litsec_raw, raw_total, zero, litcap, 1)
         litsec = jnp.where(use_h, litsec_h, litsec_r)
         lit_sec_len = jnp.where(use_h, huff_total, raw_total)
     else:
-        litcap = N + 3
         litsec = litsec_raw
         lit_sec_len = raw_total
 
@@ -160,20 +197,21 @@ def _compress_one_block(
     pos = jnp.arange(N, dtype=I32)
     all_same = jnp.sum(((payload != payload[0]) & (pos < n)).astype(I32)) == 0
     is_rle = all_same & (n >= 2)
-    is_comp = ~is_rle & (body_len < n) & (seqs.nseq > 0)
+    is_comp = ~is_rle & (body_len < n) & (nseq > 0)
     btype = jnp.where(is_rle, BLOCK_RLE, jnp.where(is_comp, BLOCK_COMPRESSED, BLOCK_RAW))
     content_len = jnp.where(is_rle, 1, jnp.where(is_comp, body_len, n))
 
-    # Sequential-access assembly; the literal padding tail is overwritten by
-    # the sequences section at its true offset (past body_len is unused).
-    body = jnp.zeros(litcap + cfg.seq_cap + 16, dtype=jnp.uint8)
-    body = jax.lax.dynamic_update_slice(body, litsec, (0,))
-    body = jax.lax.dynamic_update_slice(body, seq_bytes, (lit_sec_len,))
+    # Body: literal section at 0 + sequence section rolled to lit_sec_len. The
+    # compressed body is only used when body_len < n <= N, so composing into
+    # an N-byte buffer is safe.
+    body = place(litsec, lit_sec_len, zero, N, 1) + place(
+        seq_bytes, seq_len, lit_sec_len, N, N
+    )
 
     content = jnp.where(
         is_rle,
         jnp.broadcast_to(payload[0], (N,)).astype(jnp.uint8),
-        jnp.where(is_comp, body[:N], payload.astype(jnp.uint8)),
+        jnp.where(is_comp, body, payload.astype(jnp.uint8)),
     )
     return content, content_len, btype
 
@@ -187,8 +225,11 @@ def compress_blocks_dict(
     blocks: (B, dict_cap + N) uint8 laid out [padding | dict tail | payload];
     lengths: payload lengths; dlens: dictionary bytes present per block.
     """
-    fn = lambda b, n, d: _compress_one_block(b, n, cfg, d)
-    return jax.vmap(fn)(blocks, lengths, dlens)
+    seqs = jax.vmap(lambda b, l, d: _parse_one(b, l, cfg, d))(blocks, lengths, dlens)
+    seq_bytes, seq_len = _fse_bucketed(seqs.ll, seqs.ml, seqs.ob, seqs.nseq, cfg)
+    return jax.vmap(
+        lambda b, l, li, nl, ns, sb, sl: _assemble_one(b, l, li, nl, ns, sb, sl, cfg)
+    )(blocks, lengths, seqs.lits, seqs.nlit, seqs.nseq, seq_bytes, seq_len)
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
@@ -197,8 +238,11 @@ def compress_blocks(blocks: jax.Array, lengths: jax.Array, cfg: PipelineConfig):
 
     Returns (contents (B, N) uint8, content_lens (B,), block_types (B,)).
     """
-    fn = functools.partial(_compress_one_block, cfg=cfg)
-    return jax.vmap(fn)(blocks, lengths)
+    seqs = jax.vmap(lambda b, l: _parse_one(b, l, cfg))(blocks, lengths)
+    seq_bytes, seq_len = _fse_bucketed(seqs.ll, seqs.ml, seqs.ob, seqs.nseq, cfg)
+    return jax.vmap(
+        lambda b, l, li, nl, ns, sb, sl: _assemble_one(b, l, li, nl, ns, sb, sl, cfg)
+    )(blocks, lengths, seqs.lits, seqs.nlit, seqs.nseq, seq_bytes, seq_len)
 
 
 # --- Host-side framing ---------------------------------------------------------------
