@@ -152,9 +152,13 @@ def decompress_batch_tpu(
             if done[i]:
                 continue
             pos = cursors[i]
+            if pos + 3 > len(f):
+                raise ValueError(f"truncated frame {i}: missing block header")
             bh = int.from_bytes(f[pos : pos + 3], "little")
             pos += 3
             last, btype, bsize = bh & 1, (bh >> 1) & 3, bh >> 3
+            if pos + (1 if btype == BLOCK_RLE else bsize) > len(f):
+                raise ValueError(f"truncated frame {i}: block body exceeds input")
             if btype == BLOCK_RAW:
                 outputs[i] += f[pos : pos + bsize]
                 pos += bsize
@@ -241,3 +245,87 @@ def decompress_batch_tpu(
             )
         results.append(out)
     return results
+
+
+def decompress_batch_to_device(
+    frames: list[bytes], max_block: int = 128 * 1024
+):
+    """Inference-path decompression: outputs STAY on the accelerator.
+
+    Counterpart of the reference's inference API (reference
+    manager.h:193-273: `decompress_to_preallocated`,
+    `decompress_batch_preallocated`, `decompress_async_no_sync` — built for ML
+    weight/activation loading where decompressed bytes feed the model
+    directly). Single-block frames only (one device dispatch, no host
+    round-trip of decompressed data); multi-block frames raise ValueError.
+
+    Returns (out (B, max_block) uint8 jax.Array, lengths (B,) jax.Array) —
+    both device-resident; slicing/reshaping composes with downstream jitted
+    consumers without a host copy.
+    """
+    import jax.numpy as jnp
+
+    from ..ops.decode_jax import SeqTables, decode_sequences_device, execute_sequences_device
+    from .manager import _bucket
+
+    nf = len(frames)
+    plans: list[_BlockPlan | None] = []
+    raws: list[bytes | None] = []
+    for f in frames:
+        hdr = parse_frame_header(f)
+        pos = hdr.header_size
+        bh = int.from_bytes(f[pos : pos + 3], "little")
+        if not (bh & 1):
+            raise ValueError("decompress_batch_to_device: multi-block frame")
+        btype, bsize = (bh >> 1) & 3, bh >> 3
+        body = f[pos + 3 : pos + 3 + (1 if btype == BLOCK_RLE else bsize)]
+        if btype == BLOCK_RAW:
+            plans.append(None)
+            raws.append(body)
+        elif btype == BLOCK_RLE:
+            plans.append(None)
+            raws.append(body[:1] * bsize)
+        else:
+            plan, _, _ = _parse_block_plan(body, None, None)
+            plans.append(plan)
+            raws.append(None)
+
+    B = _bucket(max(nf, 1), lo=1)
+    swidth = _bucket(
+        max(max((len(p.stream) for p in plans if p is not None), default=1), 64), lo=64
+    )
+    streams = np.zeros((B, swidth), np.uint8)
+    tbits = np.zeros(B, np.int32)
+    sym = np.zeros((B, 3, TSIZE_MAX), np.int32)
+    nb = np.zeros((B, 3, TSIZE_MAX), np.int32)
+    ns = np.zeros((B, 3, TSIZE_MAX), np.int32)
+    logs = np.zeros((B, 3), np.int32)
+    nseq = np.zeros(B, np.int32)
+    lits = np.zeros((B, max_block), np.uint8)
+    nlit = np.zeros(B, np.int32)
+    for i, p in enumerate(plans):
+        if p is None:
+            # Raw/RLE: feed the bytes through as pure literals.
+            r = raws[i]
+            lits[i, : len(r)] = np.frombuffer(r, np.uint8)
+            nlit[i] = len(r)
+            continue
+        streams[i, : len(p.stream)] = np.frombuffer(p.stream, np.uint8)
+        tbits[i] = p.total_bits
+        nseq[i] = p.nbseq
+        lits[i, : p.nlit] = np.frombuffer(p.lits, np.uint8)
+        nlit[i] = p.nlit
+        if p.tables is not None:
+            sym[i], nb[i], ns[i], logs[i] = p.tables
+
+    tables = SeqTables(jnp.asarray(sym), jnp.asarray(nb), jnp.asarray(ns), jnp.asarray(logs))
+    rep0 = np.tile(np.asarray(REPCODE_INIT, np.int32), (B, 1))
+    ll, ml, off, _ = decode_sequences_device(
+        jnp.asarray(streams), jnp.asarray(tbits), tables,
+        jnp.asarray(nseq), jnp.asarray(rep0), MAX_SEQS_DEC,
+    )
+    out, out_len = execute_sequences_device(
+        jnp.asarray(lits), jnp.asarray(nlit), ll, ml, off,
+        jnp.asarray(nseq), jnp.zeros((B, 1), jnp.uint8), max_block, 1,
+    )
+    return out[:nf], out_len[:nf]

@@ -373,6 +373,33 @@ class BatchManager:
         self.stats.total_compress_time_s += dt
         return norm
 
+    def compress_batch_async(self, items: list[bytes]):
+        """Dispatch-now / resolve-later batch compression.
+
+        JAX dispatch is asynchronous, so device work overlaps host code until
+        the returned zero-arg resolver is called — the TPU analogue of the
+        reference's double-buffered `decompress_async_no_sync` pattern
+        (manager.h:219-238). The resolver returns list[BatchItem]."""
+        import concurrent.futures
+
+        ex = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        fut = ex.submit(self.compress_batch, items)
+
+        def resolve() -> list[BatchItem]:
+            try:
+                return fut.result()
+            finally:
+                ex.shutdown(wait=False)
+
+        return resolve
+
+    def decompress_batch_to_device(self, items: list[bytes], max_block: int = 128 * 1024):
+        """Inference path: decompress single-block frames into device-resident
+        arrays (see api/decompress.decompress_batch_to_device)."""
+        from .decompress import decompress_batch_to_device
+
+        return decompress_batch_to_device(items, max_block)
+
     def decompress_batch(
         self, items: list[BatchItem] | list[bytes], use_tpu: bool = False
     ) -> list[BatchItem]:

@@ -401,11 +401,15 @@ def _decompress_frame_impl(
     seq_tables: SeqDecodeTables | None = None
     huff_table: huffman.HufDTable | None = None
     while True:
+        if pos + 3 > len(data):
+            raise ValueError("truncated frame: missing block header")
         bh = int.from_bytes(data[pos : pos + 3], "little")
         pos += 3
         last = bh & 1
         btype = (bh >> 1) & 3
         bsize = bh >> 3
+        if pos + (1 if btype == BLOCK_RLE else bsize) > len(data):
+            raise ValueError("truncated frame: block body exceeds input")
         if btype == BLOCK_RAW:
             out += data[pos : pos + bsize]
             pos += bsize
