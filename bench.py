@@ -100,6 +100,22 @@ def main() -> None:
     ratio = len(data) / len(comp[0])
     zr = len(data) / len(zstandard.ZstdCompressor(level=3).compress(data))
 
+    # Device-side decompression throughput (single-block frames, inference path).
+    from tpu_zstd.api.decompress import decompress_batch_to_device
+
+    frames = compress_items_tpu(
+        [data[i * N : (i + 1) * N] for i in range(B)], cfg
+    )
+    out, lens = decompress_batch_to_device(frames, max_block=N)
+    jax.device_get(lens)
+    dts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out, lens = decompress_batch_to_device(frames, max_block=N)
+        jax.device_get(lens)
+        dts.append(time.perf_counter() - t0)
+    dec_gbps = B * N / min(dts) / 1e9
+
     print(json.dumps({
         "metric": "silesia_batch_compress",
         "value": round(gbps, 4),
@@ -111,6 +127,7 @@ def main() -> None:
             "ratio_tpu_L3": round(ratio, 3),
             "ratio_libzstd_L3": round(zr, 3),
             "libzstd_decodes_output": ok,
+            "decompress_GBps": round(dec_gbps, 4),
         },
     }))
 
