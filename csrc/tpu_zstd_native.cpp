@@ -181,4 +181,51 @@ int64_t tz_assemble_frames(
     return w;
 }
 
+// ------------------------------------------------------ Huffman decode ----
+
+// Decode one zstd Huffman literal stream (backward bitstream, RFC 8878 §4.2.2).
+// dtable: size (1<<table_log) entries packed as (symbol << 8) | nb_bits.
+// Returns 0 on success, -1 on malformed stream.
+int32_t tz_huf_decode_stream(
+    const uint8_t* data, int64_t len,
+    const int32_t* dtable, int32_t table_log,
+    uint8_t* out, int64_t out_len)
+{
+    if (len <= 0) return -1;
+    uint8_t last = data[len - 1];
+    if (last == 0) return -1;
+    int sentinel = 31 - __builtin_clz((uint32_t)last);
+    int64_t bits_left = (len - 1) * 8 + sentinel;
+    const uint32_t tmask = (1u << table_log) - 1;
+    for (int64_t i = 0; i < out_len; ++i) {
+        // peek table_log bits at [bits_left - table_log, bits_left), zero-filled
+        int64_t lo = bits_left - table_log;
+        uint32_t peek;
+        if (lo >= 0) {
+            int64_t byte = lo >> 3;
+            int sh = (int)(lo & 7);
+            uint32_t v = data[byte];
+            if (byte + 1 < len) v |= (uint32_t)data[byte + 1] << 8;
+            if (byte + 2 < len) v |= (uint32_t)data[byte + 2] << 16;
+            if (byte + 3 < len) v |= (uint32_t)data[byte + 3] << 24;
+            peek = (v >> sh) & tmask;
+        } else {
+            // near stream start: shift available bits to the top (libzstd
+            // permissive lookup)
+            int64_t have = bits_left > 0 ? bits_left : 0;
+            uint32_t v = 0;
+            int64_t nbytes = (have + 7) >> 3;
+            for (int64_t b = 0; b < nbytes && b < 4; ++b) v |= (uint32_t)data[b] << (8 * b);
+            v &= (have >= 32) ? 0xFFFFFFFFu : ((1u << have) - 1);
+            peek = (uint32_t)((uint64_t)v << (table_log - have)) & tmask;
+        }
+        int32_t e = dtable[peek];
+        out[i] = (uint8_t)(e >> 8);
+        bits_left -= (e & 0xFF);
+        if (bits_left < -8) return -1;
+    }
+    if (bits_left != 0) return -1;
+    return 0;
+}
+
 }  // extern "C"

@@ -58,3 +58,22 @@ def test_graft_entry_compile():
     fn, args = g.entry()
     r = jax.jit(fn)(*args)
     jax.block_until_ready(r)
+
+
+def test_distributed_batch_over_virtual_mesh(rng):
+    """compress_batch_distributed over the 8-device virtual mesh (single
+    process; DCN path exercised by the same code on real pods)."""
+    import zstandard as zstd
+
+    from tpu_zstd.ops.pipeline import PipelineConfig
+    from tpu_zstd.parallel.multihost import compress_batch_distributed
+
+    cfg = PipelineConfig(block_size=2048, hash_log=12, cap=16)
+    items = [
+        rng.integers(0, 24, int(n), np.uint8).tobytes()
+        for n in rng.integers(100, 7000, 9)
+    ]
+    outs = compress_batch_distributed(items, cfg, checksum=True)
+    dctx = zstd.ZstdDecompressor()
+    for c, d in zip(outs, items):
+        assert dctx.decompress(c, max_output_size=len(d)) == d

@@ -248,7 +248,22 @@ def encode_stream(data: bytes, ct: HufCTable) -> bytes:
 
 
 def decode_stream(data: bytes, dt: HufDTable, out_len: int) -> bytes:
-    """Decode one Huffman bitstream into out_len symbols."""
+    """Decode one Huffman bitstream into out_len symbols.
+
+    Uses the native C++ path (csrc) when available — the Python chain below
+    is the correctness oracle and the fallback for malformed streams (the
+    native decoder returns None on any inconsistency so errors surface with
+    Python-side diagnostics)."""
+    if out_len > 256:
+        try:
+            from ..utils.native import huf_decode_stream
+
+            packed = (dt.symbol.astype(np.int32) << 8) | dt.nb_bits.astype(np.int32)
+            fast = huf_decode_stream(data, packed, dt.table_log, out_len)
+            if fast is not None:
+                return fast
+        except Exception:
+            pass
     reader = BackwardBitReader(data, permissive=True)
     out = bytearray(out_len)
     tl = dt.table_log

@@ -50,20 +50,20 @@ class SeqTables(NamedTuple):
     table_log: jax.Array  # (B, 3)
 
 
-def _read_bits(streams: jax.Array, bits_left: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Vectorized backward bitstream read.
+def _read_bits(words: jax.Array, bits_left: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Vectorized backward bitstream read over u32 LE words.
 
-    streams: (B, S) uint8; bits_left: (B,) current bit cursor; n: (B,) <= 24.
-    Returns (values, new_bits_left): value = bits [bits_left-n, bits_left).
+    words: (B, SW) uint32 (LE bytes packed); bits_left: (B,) bit cursor;
+    n: (B,) <= 25. Returns (values, new_bits_left): bits [bits_left-n, bits_left).
     """
     nl = bits_left - n
-    byte = jnp.maximum(nl >> 3, 0)
-    align = (nl & 7).astype(U32)
-    B = streams.shape[0]
+    w = jnp.clip(nl >> 5, 0, words.shape[1] - 2)
+    sh = (jnp.maximum(nl, 0) & 31).astype(U32)
+    B = words.shape[0]
     rows = jnp.arange(B, dtype=I32)
-    b = [streams[rows, jnp.minimum(byte + k, streams.shape[1] - 1)].astype(U32) for k in range(5)]
-    lo = b[0] | (b[1] << 8) | (b[2] << 16) | (b[3] << 24)
-    v = (lo >> align) | jnp.where(align == 0, U32(0), (b[4] << (U32(32) - jnp.maximum(align, U32(1)))))
+    w0 = words[rows, w]
+    w1 = words[rows, w + 1]
+    v = (w0 >> sh) | ((w1 << U32(1)) << (U32(31) - sh))
     mask = jnp.where(n >= 32, U32(0xFFFFFFFF), (U32(1) << jnp.minimum(n, 31).astype(U32)) - U32(1))
     return (v & mask).astype(I32), nl
 
@@ -88,6 +88,11 @@ def decode_sequences_device(
 ):
     """Decode interleaved FSE sequences for a batch of blocks.
 
+    Implemented as a lax.scan (ys append into the output buffers — carrying
+    the (B, max_seqs) outputs through a while_loop copies them every
+    iteration, measured ~40us/iter on v5e vs ~3us for scan). The scan length
+    is bucketed by max(nseq) via a batch-level lax.switch.
+
     Returns (ll, ml, off, rep_final): (B, max_seqs) resolved values.
     """
     B = streams.shape[0]
@@ -97,38 +102,38 @@ def decode_sequences_device(
     ml_base = jnp.asarray(ML_BASELINE.astype(np.int32))
     ml_bits = jnp.asarray(ML_BITS.astype(np.int32))
 
+    # Pack the byte stream into LE u32 words once (2 gathers per read).
+    S = streams.shape[1]
+    pad = (-S) % 4
+    sb = jnp.pad(streams, ((0, 0), (0, pad + 4))).astype(U32)
+    words = (
+        sb[:, 0::4][:, : (S + pad) // 4]
+        | (sb[:, 1::4][:, : (S + pad) // 4] << 8)
+        | (sb[:, 2::4][:, : (S + pad) // 4] << 16)
+        | (sb[:, 3::4][:, : (S + pad) // 4] << 24)
+    )
+
     tl = tables.table_log
-    # Init states: LL, OF, ML (RFC order), each table_log bits.
     bits_left = total_bits
-    st_ll, bits_left = _read_bits(streams, bits_left, tl[:, 0])
-    st_of, bits_left = _read_bits(streams, bits_left, tl[:, 1])
-    st_ml, bits_left = _read_bits(streams, bits_left, tl[:, 2])
+    st_ll, bits_left = _read_bits(words, bits_left, tl[:, 0])
+    st_of, bits_left = _read_bits(words, bits_left, tl[:, 1])
+    st_ml, bits_left = _read_bits(words, bits_left, tl[:, 2])
 
     def tab(field, stream_idx, state):
         return field[rows, stream_idx, jnp.clip(state, 0, TSIZE_MAX - 1)]
 
-    out_ll = jnp.zeros((B, max_seqs), I32)
-    out_ml = jnp.zeros((B, max_seqs), I32)
-    out_off = jnp.zeros((B, max_seqs), I32)
-
-    max_n = jnp.max(nseq)
-
-    def cond(carry):
-        t = carry[0]
-        return t < max_n
-
-    def body(carry):
-        (t, bits_left, st_ll, st_of, st_ml, rep, out_ll, out_ml, out_off) = carry
+    def body(carry, t):
+        (bits_left, st_ll, st_of, st_ml, rep) = carry
         active = t < nseq
         ofc = tab(tables.symbol, 1, st_of)
         mlc = tab(tables.symbol, 2, st_ml)
         llc = tab(tables.symbol, 0, st_ll)
         # OF extra (wide), then ML extra, then LL extra.
-        ofx, bl = _read_wide(streams, bits_left, jnp.where(active, ofc, 0))
+        ofx, bl = _read_wide(words, bits_left, jnp.where(active, ofc, 0))
         ofv = jnp.where(ofc > 0, (1 << jnp.minimum(ofc, 30)) + ofx, 1)
-        mlx, bl = _read_bits(streams, bl, jnp.where(active, ml_bits[jnp.clip(mlc, 0, 52)], 0))
+        mlx, bl = _read_bits(words, bl, jnp.where(active, ml_bits[jnp.clip(mlc, 0, 52)], 0))
         ml = ml_base[jnp.clip(mlc, 0, 52)] + mlx
-        llx, bl = _read_bits(streams, bl, jnp.where(active, ll_bits[jnp.clip(llc, 0, 35)], 0))
+        llx, bl = _read_bits(words, bl, jnp.where(active, ll_bits[jnp.clip(llc, 0, 35)], 0))
         ll = ll_base[jnp.clip(llc, 0, 35)] + llx
         # Repcode resolution (mirrors format/sequences.py resolve_offset):
         #   ofv>3 -> off=ofv-3, rep'=[off,r0,r1]
@@ -149,24 +154,45 @@ def decode_sequences_device(
         # State updates (LL, ML, OF order) — skipped for the final sequence.
         upd = active & (t < nseq - 1)
         nb = jnp.where(upd, tab(tables.nb_bits, 0, st_ll), 0)
-        v, bl = _read_bits(streams, bl, nb)
+        v, bl = _read_bits(words, bl, nb)
         st_ll = jnp.where(upd, tab(tables.new_state, 0, st_ll) + v, st_ll)
         nb = jnp.where(upd, tab(tables.nb_bits, 2, st_ml), 0)
-        v, bl = _read_bits(streams, bl, nb)
+        v, bl = _read_bits(words, bl, nb)
         st_ml = jnp.where(upd, tab(tables.new_state, 2, st_ml) + v, st_ml)
         nb = jnp.where(upd, tab(tables.nb_bits, 1, st_of), 0)
-        v, bl = _read_bits(streams, bl, nb)
+        v, bl = _read_bits(words, bl, nb)
         st_of = jnp.where(upd, tab(tables.new_state, 1, st_of) + v, st_of)
         bits_left = jnp.where(active, bl, bits_left)
-        col = jnp.minimum(t, max_seqs - 1)
-        out_ll = jax.lax.dynamic_update_slice(out_ll, jnp.where(active, ll, 0)[:, None], (0, col))
-        out_ml = jax.lax.dynamic_update_slice(out_ml, jnp.where(active, ml, 0)[:, None], (0, col))
-        out_off = jax.lax.dynamic_update_slice(out_off, jnp.where(active, off, 0)[:, None], (0, col))
-        return (t + 1, bits_left, st_ll, st_of, st_ml, rep, out_ll, out_ml, out_off)
+        ys = (
+            jnp.where(active, ll, 0),
+            jnp.where(active, ml, 0),
+            jnp.where(active, off, 0),
+        )
+        return (bits_left, st_ll, st_of, st_ml, rep), ys
 
-    init = (jnp.zeros((), I32), bits_left, st_ll, st_of, st_ml, rep_init, out_ll, out_ml, out_off)
-    (_, _, _, _, _, rep, out_ll, out_ml, out_off) = jax.lax.while_loop(cond, body, init)
-    return out_ll, out_ml, out_off, rep
+    init = (bits_left, st_ll, st_of, st_ml, rep_init)
+    bmax = jnp.max(nseq)
+    buckets = [b for b in (1024, 4096, 16384) if b < max_seqs] + [max_seqs]
+    bidx = jnp.int32(0)
+    for b in buckets[:-1]:
+        bidx = bidx + (bmax > b).astype(jnp.int32)
+
+    def mk(msb):
+        def branch(_):
+            carry, (o_ll, o_ml, o_off) = jax.lax.scan(
+                body, init, jnp.arange(msb, dtype=I32)
+            )
+            padw = ((0, 0), (0, max_seqs - msb))
+            return (
+                jnp.pad(o_ll.T, padw),
+                jnp.pad(o_ml.T, padw),
+                jnp.pad(o_off.T, padw),
+                carry[4],
+            )
+
+        return branch
+
+    return jax.lax.switch(bidx, [mk(b) for b in buckets], None)
 
 
 @functools.partial(jax.jit, static_argnums=(7, 8))

@@ -54,6 +54,12 @@ def get_native() -> ctypes.CDLL | None:
         lib.tz_xxh64.argtypes = [ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64]
         lib.tz_xxh32.restype = ctypes.c_uint32
         lib.tz_xxh32.argtypes = [ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint32]
+        lib.tz_huf_decode_stream.restype = ctypes.c_int32
+        lib.tz_huf_decode_stream.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_int64,
+        ]
         lib.tz_assemble_frames.restype = ctypes.c_int64
         lib.tz_assemble_frames.argtypes = [
             ctypes.c_void_p, ctypes.c_int64,
@@ -82,6 +88,22 @@ def xxh32(data: bytes, seed: int = 0) -> int:
     from ..format.xxhash import xxh32 as py_xxh32
 
     return py_xxh32(data, seed)
+
+
+def huf_decode_stream(data: bytes, dtable_packed: np.ndarray, table_log: int, out_len: int) -> bytes | None:
+    """Native Huffman stream decode; None when unavailable or malformed
+    (caller falls back to the Python oracle)."""
+    lib = get_native()
+    if lib is None:
+        return None
+    dt = np.ascontiguousarray(dtable_packed, dtype=np.int32)
+    out = np.empty(out_len, dtype=np.uint8)
+    rc = lib.tz_huf_decode_stream(
+        bytes(data), len(data), dt.ctypes.data, int(table_log), out.ctypes.data, out_len
+    )
+    if rc != 0:
+        return None
+    return out.tobytes()
 
 
 def assemble_frames(
