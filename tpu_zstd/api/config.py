@@ -99,21 +99,25 @@ class CompressionConfig:
     @classmethod
     def from_level(cls, level: int) -> "CompressionConfig":
         """Level -> parameter table (counterpart of types.cpp:147-207)."""
+        # Tuned on-chip (mixed corpus, 2026-08-17): sort operand count and
+        # chain depth are nearly free on the sorted-domain matcher, so depth
+        # and compare cap rise quickly with level; the speed/ratio tradeoffs
+        # that matter are Huffman literals (~1.5x slower) and lazy parse.
         level = max(1, min(22, int(level)))
         if level <= 2:
             p = dict(strategy=Strategy.FAST, hash_log=15, search_depth=1, compare_cap=16)
         elif level <= 4:
-            p = dict(strategy=Strategy.GREEDY, hash_log=16, search_depth=2, compare_cap=32)
+            p = dict(strategy=Strategy.GREEDY, hash_log=17, search_depth=4, compare_cap=32)
         elif level <= 6:
-            p = dict(strategy=Strategy.LAZY, hash_log=17, search_depth=4, compare_cap=32)
+            p = dict(strategy=Strategy.LAZY, hash_log=17, search_depth=4, compare_cap=64)
         elif level <= 9:
-            p = dict(strategy=Strategy.LAZY2, hash_log=17, search_depth=6, compare_cap=48)
+            p = dict(strategy=Strategy.LAZY2, hash_log=18, search_depth=8, compare_cap=64)
         elif level <= 15:
             p = dict(strategy=Strategy.BTLAZY2, hash_log=18, search_depth=8, compare_cap=64)
         elif level <= 19:
             p = dict(strategy=Strategy.BTOPT, hash_log=18, search_depth=12, compare_cap=64)
         else:
-            p = dict(strategy=Strategy.BTULTRA, hash_log=18, search_depth=16, compare_cap=96)
+            p = dict(strategy=Strategy.BTULTRA, hash_log=18, search_depth=16, compare_cap=64)
         return cls(level=level, **p)
 
     def validate(self) -> Status:

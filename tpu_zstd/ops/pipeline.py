@@ -35,8 +35,8 @@ class PipelineConfig:
     """Static compile-time pipeline parameters (one jit cache entry each)."""
 
     block_size: int = BLOCK_SIZE_MAX
-    hash_log: int = 16
-    depth: int = 2
+    hash_log: int = 17
+    depth: int = 4
     cap: int = 32
     min_match: int = 4
     lazy: bool = False  # 1-step lazy parse (Strategy.LAZY and up)
