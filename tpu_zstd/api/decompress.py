@@ -183,7 +183,11 @@ def decompress_batch_tpu(
         idxs = sorted(plans)
         B = _bucket(len(idxs), lo=1)
         # Device batch: sequence decode + execution with window carry.
-        # (pow2 stream width keeps the jit cache small across batches)
+        # (pow2 stream width keeps the jit cache small across batches; the
+        # window upload is skipped entirely on the first block round — the
+        # common single-block inference case — since all histories are empty)
+        have_window = any(len(outputs[i]) > 0 for i in idxs)
+        wcap_round = window_cap if have_window else 1
         swidth = _bucket(max(max(len(plans[i].stream) for i in idxs), 64), lo=64)
         streams = np.zeros((B, swidth), np.uint8)
         tbits = np.zeros(B, np.int32)
@@ -194,7 +198,7 @@ def decompress_batch_tpu(
         nseq = np.zeros(B, np.int32)
         lits = np.zeros((B, max_block), np.uint8)
         nlit = np.zeros(B, np.int32)
-        window = np.zeros((B, window_cap), np.uint8)
+        window = np.zeros((B, wcap_round), np.uint8)
         rep0 = np.zeros((B, 3), np.int32)
         for bi, i in enumerate(idxs):
             p = plans[i]
@@ -205,9 +209,9 @@ def decompress_batch_tpu(
             nlit[bi] = p.nlit
             if p.tables is not None:
                 sym[bi], nb[bi], ns[bi], logs[bi] = p.tables
-            tail = bytes(outputs[i][-window_cap:])
+            tail = bytes(outputs[i][-wcap_round:]) if have_window else b""
             if tail:
-                window[bi, window_cap - len(tail) :] = np.frombuffer(tail, np.uint8)
+                window[bi, wcap_round - len(tail) :] = np.frombuffer(tail, np.uint8)
             rep0[bi] = reps[i]
 
         if nseq.max() > 0:
@@ -220,7 +224,7 @@ def decompress_batch_tpu(
             )
             out, out_len = execute_sequences_device(
                 jnp.asarray(lits), jnp.asarray(nlit), ll, ml, off,
-                jnp.asarray(nseq), jnp.asarray(window), max_block, window_cap,
+                jnp.asarray(nseq), jnp.asarray(window), max_block, wcap_round,
             )
             out, out_len, rep_fin = jax.device_get((out, out_len, rep_fin))
             for bi, i in enumerate(idxs):

@@ -16,7 +16,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..constants import BLOCK_RLE
+from ..constants import BLOCK_RAW, BLOCK_RLE
 from ..format.frame import write_frame_header
 from ..format.xxhash import content_checksum
 from .config import (
@@ -167,6 +167,19 @@ class Manager:
 
 LDM_WINDOW_CAP = 64 * 1024  # cross-block window size (enable_ldm / streaming history)
 
+_TRIM_CACHE: dict = {}
+
+
+def _trim_content(contents, bucket: int):
+    """Device-side slice before transfer (one cached jit per pow2 bucket)."""
+    import jax
+
+    fn = _TRIM_CACHE.get(bucket)
+    if fn is None:
+        fn = jax.jit(lambda c: c[:, :bucket])
+        _TRIM_CACHE[bucket] = fn
+    return fn(contents)
+
 
 def compress_items_tpu(
     items: list[bytes],
@@ -230,22 +243,35 @@ def compress_items_tpu(
     if windowed:
         dlens_np = np.zeros(Bpad, dtype=np.int32)
         dlens_np[:B] = dlens
-        contents, clens, btypes = jax.device_get(
-            compress_blocks_dict(
-                jnp.asarray(blocks_np), jnp.asarray(lens_np), jnp.asarray(dlens_np), pcfg
-            )
+        out = compress_blocks_dict(
+            jnp.asarray(blocks_np), jnp.asarray(lens_np), jnp.asarray(dlens_np), pcfg
         )
     else:
-        contents, clens, btypes = jax.device_get(
-            compress_blocks(jnp.asarray(blocks_np), jnp.asarray(lens_np), pcfg)
-        )
+        out = compress_blocks(jnp.asarray(blocks_np), jnp.asarray(lens_np), pcfg)
+
+    # Two-phase fetch: lens/types are tiny; the content transfer is trimmed to
+    # the largest non-Raw block (Raw blocks re-use the caller's input bytes).
+    # On this class of host link (~30 MB/s tunnel measured) the trim is the
+    # difference between transfer-bound and compute-bound batches.
+    clens, btypes = jax.device_get((out[1], out[2]))
+    nonraw = btypes[:B] != BLOCK_RAW if B else np.zeros(0, bool)
+    mx = int(clens[:B][nonraw].max()) if nonraw.any() else 1
+    bucket = _bucket(max(mx, 64), lo=64)
+    if bucket < N:
+        contents = jax.device_get(_trim_content(out[0], bucket))
+    else:
+        bucket = None
+        contents = jax.device_get(out[0])
 
     checksum = cfg.checksum != ChecksumPolicy.NONE
 
-    # Fast path: native C++ frame assembler (csrc), then split per item.
-    native_out = _assemble_native(items, spans, contents, clens, btypes, lens_np, cfg, checksum)
-    if native_out is not None:
-        return native_out
+    if bucket is None:
+        # Fast path: native C++ frame assembler (csrc), then split per item.
+        native_out = _assemble_native(
+            items, spans, contents, clens, btypes, lens_np, cfg, checksum
+        )
+        if native_out is not None:
+            return native_out
 
     outs: list[bytes] = []
     for (first, nb), data in zip(spans, items):
@@ -270,6 +296,10 @@ def compress_items_tpu(
             if btype == BLOCK_RLE:
                 parts.append(((int(lens_np[b]) << 3) | (BLOCK_RLE << 1) | last).to_bytes(3, "little"))
                 parts.append(contents[b, :1].tobytes())
+            elif btype == BLOCK_RAW:
+                # Raw content == the caller's input bytes (not transferred).
+                parts.append(((clen << 3) | (BLOCK_RAW << 1) | last).to_bytes(3, "little"))
+                parts.append(data[k * N : k * N + clen])
             else:
                 parts.append(((clen << 3) | (btype << 1) | last).to_bytes(3, "little"))
                 parts.append(contents[b, :clen].tobytes())
