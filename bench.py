@@ -60,7 +60,7 @@ def main() -> None:
     import jax.numpy as jnp
     import zstandard
 
-    from tpu_zstd.ops.pipeline import DEFAULT_CONFIG, compress_blocks
+    from tpu_zstd.ops.pipeline import DEFAULT_CONFIG, compress_blocks_staged
     from tpu_zstd.api.manager import compress_items_tpu
     from tpu_zstd.api.config import CompressionConfig
 
@@ -83,14 +83,14 @@ def main() -> None:
         sys.exit(1)
 
     # Warm up / compile.
-    out = compress_blocks(jb, jl, DEFAULT_CONFIG)
+    out = compress_blocks_staged(jb, jl, DEFAULT_CONFIG)
     jax.device_get(out)
 
     # Timed runs (device compute + result materialization).
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
-        out = compress_blocks(jb, jl, DEFAULT_CONFIG)
+        out = compress_blocks_staged(jb, jl, DEFAULT_CONFIG)
         clens = jax.device_get(out[1])
         times.append(time.perf_counter() - t0)
     dt = min(times)

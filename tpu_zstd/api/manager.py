@@ -201,7 +201,7 @@ def compress_items_tpu(
     import jax
     import jax.numpy as jnp
 
-    from ..ops.pipeline import PipelineConfig, compress_blocks, compress_blocks_dict
+    from ..ops.pipeline import PipelineConfig, compress_blocks_dict, compress_blocks_staged
 
     pcfg = _pipeline_config(cfg)
     N = pcfg.block_size
@@ -247,7 +247,7 @@ def compress_items_tpu(
             jnp.asarray(blocks_np), jnp.asarray(lens_np), jnp.asarray(dlens_np), pcfg
         )
     else:
-        out = compress_blocks(jnp.asarray(blocks_np), jnp.asarray(lens_np), pcfg)
+        out = compress_blocks_staged(jnp.asarray(blocks_np), jnp.asarray(lens_np), pcfg)
 
     # Two-phase fetch: lens/types are tiny; the content transfer is trimmed to
     # the largest non-Raw block (Raw blocks re-use the caller's input bytes).

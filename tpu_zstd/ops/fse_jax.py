@@ -171,9 +171,12 @@ def of_code_jnp(ob: jax.Array) -> jax.Array:
 # --- State chains -------------------------------------------------------------------
 
 
-def _state_chain(tables: EncTables, rsym: jax.Array, nseq: jax.Array, max_seqs: int):
-    """States of one FSE stream processed in encoder order.
+def _state_chain_rt(
+    next2d: jax.Array, init_table: jax.Array, rsym: jax.Array, nseq: jax.Array, max_seqs: int
+):
+    """States of one FSE stream processed in encoder order (runtime tables).
 
+    next2d: (nsym, ts) traced transition table; init_table: (nsym,) traced.
     rsym[t] = symbol of sequence (nseq-1-t)  (t=0 is the init symbol).
     Transitions consume rsym[t] for t in [1, nseq).
 
@@ -181,11 +184,12 @@ def _state_chain(tables: EncTables, rsym: jax.Array, nseq: jax.Array, max_seqs: 
       pre_states[t] = state BEFORE consuming rsym[t]   (valid for 1 <= t < nseq)
       final_state   = state after the last transition (flushed to the stream).
     """
-    ts = tables.table_size
+    ts = next2d.shape[1]
     nc = max_seqs // CHUNK
-    next2d = jnp.asarray(tables.next2d)
 
-    init = _small_lut(tables.init_state, rsym[0])
+    nsym = init_table.shape[0]
+    oh0 = (rsym[0] == jnp.arange(nsym, dtype=I32)).astype(F32)
+    init = jnp.sum(oh0 * init_table.astype(F32)).astype(I32)
     # Step s consumes rsym[s+1]; lay steps out as (chunks, CHUNK).
     st_sym = jnp.roll(rsym, -1).reshape(nc, CHUNK)
     t_idx = jnp.arange(max_seqs, dtype=I32).reshape(nc, CHUNK)
@@ -212,7 +216,8 @@ def _state_chain(tables: EncTables, rsym: jax.Array, nseq: jax.Array, max_seqs: 
     # Phase C: re-walk each chunk, recording pre-transition states.
     def stepC(states, inp):
         sym, valid = inp
-        nxt = lookup2d(tables.next2d, sym, states)
+        rows = pick_rows(next2d, sym)
+        nxt = pick_cols(rows, states).astype(I32)
         return jnp.where(valid, nxt, states), states
 
     _, pre_seq = jax.lax.scan(stepC, entries, (st_sym.T, st_valid.T))
@@ -221,6 +226,78 @@ def _state_chain(tables: EncTables, rsym: jax.Array, nseq: jax.Array, max_seqs: 
     pre_by_step = pre_seq.T.reshape(-1)
     pre_states = jnp.roll(pre_by_step, 1)
     return pre_states, final_state
+
+
+def _state_chain(tables: EncTables, rsym: jax.Array, nseq: jax.Array, max_seqs: int):
+    """Static-table (EncTables) wrapper over _state_chain_rt."""
+    return _state_chain_rt(
+        jnp.asarray(tables.next2d), jnp.asarray(tables.init_state), rsym, nseq, max_seqs
+    )
+
+
+def _state_chain3(
+    next3: jax.Array, init3: jax.Array, rsym3: jax.Array, nseq: jax.Array, max_seqs: int
+):
+    """All three FSE streams (LL/OF/ML) through ONE set of scans.
+
+    Fusing the streams cuts the sequential scan-step count 3x (per-step work is
+    tiny on TPU; step overhead dominates). next3: (3, S, ts) tables padded to a
+    common alphabet S; init3: (3, S); rsym3: (3, max_seqs).
+
+    Returns (pre (3, max_seqs), fin (3,)).
+    """
+    S = next3.shape[1]
+    ts = next3.shape[2]
+    nc = max_seqs // CHUNK
+    n3f = next3.astype(F32)
+
+    oh0 = (rsym3[:, 0][:, None] == jnp.arange(S, dtype=I32)).astype(F32)
+    init = jnp.sum(oh0 * init3.astype(F32), axis=1).astype(I32)  # (3,)
+
+    st_sym = jnp.roll(rsym3, -1, axis=1).reshape(3, nc, CHUNK)
+    t_idx = jnp.arange(max_seqs, dtype=I32).reshape(nc, CHUNK)
+    st_valid = (t_idx + 1) < nseq  # (nc, CHUNK)
+
+    def rows_of(sym):  # (3, nc) -> (3, nc, ts)
+        oh = (sym[..., None] == jnp.arange(S, dtype=I32)).astype(F32)
+        return jnp.einsum("snk,skt->snt", oh, n3f)
+
+    # Phase A: per-chunk composed transition over all ts entry states.
+    def stepA(states, inp):  # states (3, nc, ts) = f_chunk(entry_state)
+        sym, valid = inp
+        rows = rows_of(sym)
+        oh = (states[..., None] == jnp.arange(ts, dtype=I32)).astype(F32)
+        nxt = jnp.sum(rows[:, :, None, :] * oh, axis=-1).astype(I32)
+        return jnp.where(valid[None, :, None], nxt, states), None
+
+    all0 = jnp.broadcast_to(jnp.arange(ts, dtype=I32)[None, None, :], (3, nc, ts))
+    chunk_fn, _ = jax.lax.scan(
+        stepA, all0, (st_sym.transpose(2, 0, 1), st_valid.T)
+    )
+
+    # Phase B: thread the real entry states through chunk functions.
+    def stepB(state, fn_row):  # state (3,); fn_row (3, ts)
+        oh = (state[:, None] == jnp.arange(ts, dtype=I32)).astype(F32)
+        nxt = jnp.sum(fn_row.astype(F32) * oh, axis=1).astype(I32)
+        return nxt, state
+
+    fin, entries = jax.lax.scan(stepB, init, chunk_fn.transpose(1, 0, 2))
+
+    # Phase C: re-walk each chunk, recording pre-transition states.
+    def stepC(states, inp):  # states (3, nc)
+        sym, valid = inp
+        rows = rows_of(sym)
+        oh = (states[..., None] == jnp.arange(ts, dtype=I32)).astype(F32)
+        nxt = jnp.sum(rows * oh, axis=-1).astype(I32)
+        return jnp.where(valid[None, :], nxt, states), states
+
+    _, pre_seq = jax.lax.scan(
+        stepC, entries.T, (st_sym.transpose(2, 0, 1), st_valid.T)
+    )
+    # pre_seq (CHUNK, 3, nc): state before step s = c*CHUNK + i.
+    pre_by_step = pre_seq.transpose(1, 2, 0).reshape(3, -1)
+    pre = jnp.roll(pre_by_step, 1, axis=1)
+    return pre, fin
 
 
 # --- Sequence section encode ---------------------------------------------------------
@@ -335,3 +412,181 @@ def encode_sequences_predefined(
     out = out + place(stream, has * stream_bytes, hdr_len, out_len_cap, 4)
     section_len = hdr_len + has * stream_bytes
     return out, section_len
+
+
+def prepare_sequences_auto(
+    ll: jax.Array, ml: jax.Array, ob: jax.Array, nseq: jax.Array, max_seqs: int
+) -> dict:
+    """Bucket-independent half of the auto sequence encoder.
+
+    Reverses to encoder order, maps codes, and builds per-stream tables
+    (RLE / custom-FSE / predefined — ops/fse_tables_jax.py). Everything here
+    runs at full max_seqs width so the caller's nseq-bucket switch only has to
+    contain the state chains + deposit (smaller compiled graph, no duplicated
+    table builds per bucket).
+    """
+    from .fse_tables_jax import stream_specs, choose_stream_tables
+    from .bitpack import dynroll
+
+    spec_ll, spec_of, spec_ml = stream_specs()
+    ms = max_seqs
+    ll = ll.astype(I32)
+    ml = ml.astype(I32)
+    ob = ob.astype(I32)
+
+    def rev(x):
+        return dynroll(jnp.flip(x), (nseq - ms) % ms, ms)
+
+    r_ll = rev(ll)
+    r_ml = rev(ml)
+    r_ob = rev(ob)
+    r_llc = ll_code_jnp(r_ll)
+    r_mlc = ml_code_jnp(r_ml)
+    r_ofc = of_code_jnp(r_ob)
+
+    t_ll = choose_stream_tables(r_llc, nseq, spec_ll)
+    t_of = choose_stream_tables(r_ofc, nseq, spec_of)
+    t_ml = choose_stream_tables(r_mlc, nseq, spec_ml)
+
+    # Stack the three streams (alphabets padded to the largest) so the state
+    # chains and nb lookups run in ONE set of scans/contractions.
+    S = max(spec_ll.nsym, spec_of.nsym, spec_ml.nsym)
+
+    def padS(a):
+        return jnp.pad(a, [(0, S - a.shape[0])] + [(0, 0)] * (a.ndim - 1))
+
+    return {
+        "r_ll": r_ll,
+        "r_ml": r_ml,
+        "r_ob": r_ob,
+        "rsym3": jnp.stack([r_llc, r_ofc, r_mlc]),
+        "r_llb": _small_lut(LL_BITS, r_llc),
+        "r_mlb": _small_lut(ML_BITS, r_mlc),
+        "next3": jnp.stack([padS(t["next2d"]) for t in (t_ll, t_of, t_ml)]),
+        "nb3": jnp.stack([padS(t["nb2d"]) for t in (t_ll, t_of, t_ml)]),
+        "init3": jnp.stack([padS(t["init"]) for t in (t_ll, t_of, t_ml)]),
+        "tl3": jnp.stack([t["table_log"] for t in (t_ll, t_of, t_ml)]),
+        "mode3": jnp.stack([t["mode"] for t in (t_ll, t_of, t_ml)]),
+        "desc_ll": t_ll["desc"],
+        "desc_of": t_of["desc"],
+        "desc_ml": t_ml["desc"],
+        "dlen3": jnp.stack([t["desc_len"] for t in (t_ll, t_of, t_ml)]),
+    }
+
+
+def encode_prepared(
+    prep: dict, nseq: jax.Array, msb: int, out_bytes_cap: int
+) -> tuple[jax.Array, jax.Array]:
+    """Bucket-sized half: state chains, bit fields, deposit, section assembly.
+
+    msb must be >= nseq (the caller picks the bucket); prep arrays are sliced
+    to msb (reversed order puts all live entries in the prefix).
+    """
+    rsym3 = prep["rsym3"][:, :msb]
+    next3 = prep["next3"]
+    S = next3.shape[1]
+
+    pre3, fin3 = _state_chain3(next3, prep["init3"], rsym3, nseq, msb)
+    fin_ll, fin_of, fin_ml = fin3[0], fin3[1], fin3[2]
+
+    # Per-step state bit counts/values for all three streams at once.
+    oh_sym = (rsym3[..., None] == jnp.arange(S, dtype=I32)).astype(F32)
+    rows3 = jnp.einsum("snk,skt->snt", oh_sym, prep["nb3"].astype(F32))
+    oh_pre = (pre3[..., None] == jnp.arange(next3.shape[2], dtype=I32)).astype(F32)
+    nb3_steps = jnp.sum(rows3 * oh_pre, axis=-1).astype(I32)  # (3, msb)
+    ts3 = (1 << prep["tl3"]).astype(I32)
+    v3 = (ts3[:, None] + pre3) & ((1 << nb3_steps.astype(U32)).astype(I32) - 1)
+    nb_ll, nb_of, nb_ml = nb3_steps[0], nb3_steps[1], nb3_steps[2]
+    v_ll, v_of, v_ml = v3[0], v3[1], v3[2]
+
+    r_ll = prep["r_ll"][:msb]
+    r_ml = prep["r_ml"][:msb]
+    r_ob = prep["r_ob"][:msb]
+    r_llb = prep["r_llb"][:msb]
+    r_mlb = prep["r_mlb"][:msb]
+    r_ofb = rsym3[1]
+
+    t_ar = jnp.arange(msb, dtype=I32)
+    is_step = (t_ar >= 1) & (t_ar < nseq)
+    is_seq = t_ar < nseq
+
+    mask = lambda v, b: v & ((U32(1) << b.astype(U32)) - U32(1)).astype(I32)
+    f1 = v_of | (v_ml << nb_of) | (v_ll << (nb_of + nb_ml))
+    l1 = jnp.where(is_step, nb_of + nb_ml + nb_ll, 0)
+    f2 = mask(r_ll, r_llb) | (mask(r_ml - 3, r_mlb) << r_llb)
+    l2 = jnp.where(is_seq, r_llb + r_mlb, 0)
+    f3 = mask(r_ob, r_ofb)
+    l3 = jnp.where(is_seq, r_ofb, 0)
+
+    lens = jnp.stack([l1, l2, l3], axis=1).reshape(-1)
+    vals = jnp.stack([f1, f2, f3], axis=1).reshape(-1)
+
+    has = (nseq > 0).astype(I32)
+    tl_l, tl_o, tl_m = prep["tl3"][0], prep["tl3"][1], prep["tl3"][2]
+    tail_val = (
+        fin_ml
+        | (fin_of << tl_m)
+        | (fin_ll << (tl_m + tl_o))
+        | (1 << (tl_m + tl_o + tl_l))
+    )
+    tail_len = has * (tl_m + tl_o + tl_l + 1)
+
+    all_lens = jnp.concatenate([lens, tail_len[None]])
+    all_vals = jnp.concatenate([vals, tail_val[None]]).astype(U32)
+
+    num_words = out_bytes_cap // 4
+    words, total_bits = deposit_bits(all_vals, all_lens, num_words)
+    stream_bytes = (total_bits + 7) >> 3
+
+    # nbSeq varint.
+    b0 = jnp.where(nseq < 128, nseq, jnp.where(nseq < 0x7F00, (nseq >> 8) + 0x80, 255))
+    b1 = jnp.where(nseq < 0x7F00, nseq & 0xFF, (nseq - 0x7F00) & 0xFF)
+    b2 = ((nseq - 0x7F00) >> 8) & 0xFF
+    nb_len = jnp.where(nseq < 128, 1, jnp.where(nseq < 0x7F00, 2, 3))
+    nbseq_hdr = jnp.zeros(4, dtype=jnp.uint8)
+    nbseq_hdr = nbseq_hdr.at[0].set(b0.astype(jnp.uint8))
+    nbseq_hdr = nbseq_hdr.at[1].set(jnp.where(nseq < 128, 0, b1).astype(jnp.uint8))
+    nbseq_hdr = nbseq_hdr.at[2].set(jnp.where(nseq < 0x7F00, 0, b2).astype(jnp.uint8))
+
+    m3 = prep["mode3"]
+    mode_byte = ((m3[0] << 6) | (m3[1] << 4) | (m3[2] << 2)).astype(jnp.uint8)
+
+    d_ll = has * prep["dlen3"][0]
+    d_of = has * prep["dlen3"][1]
+    d_ml = has * prep["dlen3"][2]
+    hdr_total = nb_len + has + d_ll + d_of + d_ml
+
+    from .bitpack import place, words_to_bytes
+
+    stream = words_to_bytes(words)
+    CAP = out_bytes_cap + 8
+    zero = jnp.zeros((), I32)
+    out = place(nbseq_hdr, nb_len, zero, CAP, 1)
+    out = out + place(mode_byte[None], has, nb_len, CAP, 4)
+    out = out + place(prep["desc_ll"], d_ll, nb_len + has, CAP, 4)
+    out = out + place(prep["desc_of"], d_of, nb_len + has + d_ll, CAP, 512)
+    out = out + place(prep["desc_ml"], d_ml, nb_len + has + d_ll + d_of, CAP, 1024)
+    out = out + place(stream, has * stream_bytes, hdr_total, CAP, 2048)
+    section_len = hdr_total + has * stream_bytes
+    return out, section_len
+
+
+def encode_sequences_auto(
+    ll: jax.Array,
+    ml: jax.Array,
+    ob: jax.Array,
+    nseq: jax.Array,
+    max_seqs: int,
+    out_bytes_cap: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Encode one block's sequences with per-stream mode selection.
+
+    Each of the LL/OF/ML streams independently picks RLE (single symbol),
+    per-block custom FSE tables (ops/fse_tables_jax.py — the reference only
+    ships this as unreached Tier-2/3 paths, manager.cu:4864-4974), or the
+    predefined tables, by expected-bit estimate. Emission layout mirrors
+    encode_sequences_predefined with a wider section header:
+    nbseq | mode byte | [LL desc] [OF desc] [ML desc] | bitstream.
+    """
+    prep = prepare_sequences_auto(ll, ml, ob, nseq, max_seqs)
+    return encode_prepared(prep, nseq, max_seqs, out_bytes_cap)

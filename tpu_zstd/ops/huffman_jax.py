@@ -147,12 +147,18 @@ def weights_header(lengths: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]
 
 
 def _lut256(table: jax.Array, idx: jax.Array) -> jax.Array:
-    """Gather-free 256-entry lookup: two-level 16x16 one-hot contraction."""
+    """Gather-free 256-entry lookup: two-level 16x16 one-hot contraction.
+
+    Precision.HIGHEST is required: TPU default matmul precision truncates f32
+    operands to bf16 passes, which corrupts table values wider than ~11 bits
+    (measured on v5e: 16-bit packed entries lose low bits at default
+    precision, exact at HIGHEST).
+    """
     t = table.astype(F32).reshape(16, 16)
     hi = idx >> 4
     lo = idx & 15
     oh_hi = (hi[:, None] == jnp.arange(16, dtype=I32)[None, :]).astype(F32)
-    rows = oh_hi @ t  # (N, 16)
+    rows = jnp.matmul(oh_hi, t, precision=jax.lax.Precision.HIGHEST)  # (N, 16)
     oh_lo = (lo[:, None] == jnp.arange(16, dtype=I32)[None, :]).astype(F32)
     return jnp.sum(rows * oh_lo, axis=1).astype(I32)
 
@@ -170,54 +176,55 @@ def encode_literals_4stream(
     payload_len, ok). Streams encode their symbols in reverse position order
     (decoders read forward). Requires nlit >= 16 (callers gate on that).
 
-    All four streams deposit in ONE scatter pass: the full literal sequence is
-    reversed once; in reversed coordinates the streams are contiguous slices
-    (stream s at [nlit-end_s, nlit-start_s)), so per-field absolute bit
-    offsets are its stream's byte-aligned bit base plus a segmented prefix
-    sum. No per-lane dynamic slicing (vmapped dynamic-slice = gather).
+    The deposit scatter is the dominant cost (~130M elem/s on v5e), so fields
+    are HALVED before depositing: each stream is aligned to position 0 with a
+    static-roll shift (streams are contiguous slices of the reversed literal
+    order), and adjacent same-stream symbols merge into one field (two <=11-bit
+    codes always fit 32 bits). Code+length ride one packed 16-bit LUT value.
     """
     from .bitpack import deposit_bits_at, dynroll, words_to_bytes
 
     N = lits.shape[0]
     seg = (nlit + 3) // 4
+    P = N // 4 + 4   # static per-stream symbol capacity (pair-aligned)
+    assert P % 2 == 0
 
-    lit_codes = _lut256(codes, lits.astype(I32))
-    lit_lens = _lut256(lengths, lits.astype(I32))
+    packed_tbl = (lengths << 12) | codes
+    pk = _lut256(packed_tbl, lits.astype(I32))
+    pkf = jnp.flip(pk)  # pkf[j] = packed code of lit[N-1-j]
 
-    # Reversed coordinates: R*[u] = lit[nlit-1-u].
-    rc = dynroll(jnp.flip(lit_codes), (nlit - N) % N, N)
-    rl = dynroll(jnp.flip(lit_lens), (nlit - N) % N, N)
-    u = jnp.arange(N, dtype=I32)
-    valid = u < nlit
-    rl = jnp.where(valid, rl, 0)
-
-    # Stream slices in u-space (s=3 sits first): [lo_s, hi_s).
     starts = jnp.stack([seg * 0, seg, seg * 2, seg * 3])
     ends = jnp.stack([seg, seg * 2, seg * 3, nlit])
-    lo = nlit - ends
-    hi = nlit - starts
 
-    csum = jnp.cumsum(rl)
-    csum_ex = csum - rl
-    csum_pad = jnp.concatenate([csum_ex, csum[-1:]])  # at(i) for i in [0, N]
+    j = jnp.arange(P, dtype=I32)
+    v2s, l2s, off2s, sbits = [], [], [], []
+    for s in range(4):
+        # Stream s reversed symbols start at flip-index N - ends[s]:
+        # dynroll right by ends[s] puts them at 0 (mod N when nlit == N).
+        pks = dynroll(pkf, ends[s] % N, N)[:P]
+        n_s = ends[s] - starts[s]
+        l_s = jnp.where(j < n_s, pks >> 12, 0)
+        c_s = jnp.where(j < n_s, pks & 0xFFF, 0)
+        c0, c1 = c_s[0::2], c_s[1::2]
+        l0, l1 = l_s[0::2], l_s[1::2]
+        v2 = (c0 | (c1 << l0)).astype(U32)  # <= 22 bits
+        l2 = l0 + l1
+        off2 = jnp.cumsum(l2) - l2
+        v2s.append(v2)
+        l2s.append(l2)
+        off2s.append(off2)
+        sbits.append(off2[-1] + l2[-1])
 
-    def at(i):
-        return csum_pad[jnp.clip(i, 0, N)]
-
-    stream_bits = at(hi) - at(lo)                  # (4,) data bits per stream
+    stream_bits = jnp.stack(sbits)                 # (4,) data bits per stream
     stream_bytes = (stream_bits + 1 + 7) >> 3      # + sentinel bit
     byte_base = jnp.cumsum(stream_bytes) - stream_bytes
     bit_base = byte_base * 8
 
-    s_of_u = jnp.where(u >= lo[0], 0, jnp.where(u >= lo[1], 1, jnp.where(u >= lo[2], 2, 3)))
-    sel = lambda arr: jnp.where(
-        s_of_u == 0, arr[0], jnp.where(s_of_u == 1, arr[1], jnp.where(s_of_u == 2, arr[2], arr[3]))
+    all_vals = jnp.concatenate(v2s + [jnp.ones(4, U32)])
+    all_lens = jnp.concatenate(l2s + [jnp.ones(4, I32)])
+    all_offs = jnp.concatenate(
+        [off2s[s] + bit_base[s] for s in range(4)] + [bit_base + stream_bits]
     )
-    offsets = sel(bit_base) + (csum_ex - sel(at(lo)))
-
-    all_vals = jnp.concatenate([rc, jnp.ones(4, I32)]).astype(U32)
-    all_lens = jnp.concatenate([rl, jnp.ones(4, I32)])
-    all_offs = jnp.concatenate([offsets, bit_base + stream_bits])
 
     num_words = out_cap // 4
     words = deposit_bits_at(all_vals, all_lens, all_offs, num_words)

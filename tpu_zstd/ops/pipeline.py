@@ -23,7 +23,7 @@ import numpy as np
 from ..constants import BLOCK_COMPRESSED, BLOCK_RAW, BLOCK_RLE, BLOCK_SIZE_MAX
 from ..format.frame import write_frame_header
 from ..format.xxhash import content_checksum
-from .fse_jax import encode_sequences_predefined
+from .fse_jax import encode_sequences_auto, encode_sequences_predefined
 from .lz77_jax import parse_block
 
 I32 = jnp.int32
@@ -42,6 +42,7 @@ class PipelineConfig:
     lazy: bool = False  # 1-step lazy parse (Strategy.LAZY and up)
     dict_cap: int = 0  # dictionary-window prefix capacity (0 = no dictionary)
     huffman_literals: bool = True  # compress literals (reference emits Raw only)
+    custom_fse: bool = True  # per-block FSE sequence tables (ops/fse_tables_jax.py)
 
     @property
     def max_seqs(self) -> int:
@@ -50,8 +51,9 @@ class PipelineConfig:
 
     @property
     def seq_cap(self) -> int:
-        # worst case ~34 bits/sequence (17 state + <=17 offset extra)
-        return (self.max_seqs * 40) // 8 + 64
+        # worst case ~34 bits/sequence (17 state + <=17 offset extra) + room
+        # for the section header incl. three NCount table descriptions.
+        return (self.max_seqs * 40) // 8 + 1024
 
 
 DEFAULT_CONFIG = PipelineConfig()
@@ -112,15 +114,34 @@ def _fse_bucketed(ll, ml, ob, nseq, cfg: PipelineConfig):
     for b in buckets[:-1]:
         idx = idx + (bmax > b).astype(jnp.int32)
 
-    def mk(msb):
-        def branch(_):
-            return jax.vmap(
-                lambda x, y, z, w: encode_sequences_predefined(
-                    x[:msb], y[:msb], z[:msb], w, msb, cfg.seq_cap
-                )
-            )(ll, ml, ob, nseq)
+    if cfg.custom_fse:
+        from .fse_jax import encode_prepared, prepare_sequences_auto
 
-        return branch
+        # Table building is bucket-independent: run it once at full width so
+        # the bucket switch only contains the state chains + deposit.
+        prep = jax.vmap(
+            lambda a, b_, c, n: prepare_sequences_auto(a, b_, c, n, full)
+        )(ll, ml, ob, nseq)
+
+        def mk(msb):
+            def branch(_):
+                return jax.vmap(lambda p, n: encode_prepared(p, n, msb, cfg.seq_cap))(
+                    prep, nseq
+                )
+
+            return branch
+
+    else:
+
+        def mk(msb):
+            def branch(_):
+                return jax.vmap(
+                    lambda x, y, z, w: encode_sequences_predefined(
+                        x[:msb], y[:msb], z[:msb], w, msb, cfg.seq_cap
+                    )
+                )(ll, ml, ob, nseq)
+
+            return branch
 
     return jax.lax.switch(idx, [mk(b) for b in buckets], None)
 
@@ -245,6 +266,58 @@ def compress_blocks(blocks: jax.Array, lengths: jax.Array, cfg: PipelineConfig):
     )(blocks, lengths, seqs.lits, seqs.nlit, seqs.nseq, seq_bytes, seq_len)
 
 
+# --- Two-dispatch staged pipeline ----------------------------------------------------
+#
+# The single-jit compress_blocks keeps the whole pipeline (parse, per-bucket
+# sequence encode via lax.switch, assemble) in one graph — needed for the
+# sharded/pjit path, but every nseq bucket compiles whether used or not and
+# the graph is large. The staged variant dispatches parse+table-prep first,
+# fetches ONE scalar (max nseq) to pick the bucket on the host, then runs a
+# bucket-specific encode+assemble executable (compiled lazily per bucket).
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _parse_prep_stage(blocks: jax.Array, lengths: jax.Array, cfg: PipelineConfig):
+    seqs = jax.vmap(lambda b, l: _parse_one(b, l, cfg))(blocks, lengths)
+    if cfg.custom_fse:
+        from .fse_jax import prepare_sequences_auto
+
+        prep = jax.vmap(
+            lambda a, b, c, n: prepare_sequences_auto(a, b, c, n, cfg.max_seqs)
+        )(seqs.ll, seqs.ml, seqs.ob, seqs.nseq)
+    else:
+        prep = None
+    return seqs, prep, jnp.max(seqs.nseq)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _encode_stage(blocks, lengths, seqs, prep, cfg: PipelineConfig, msb: int):
+    if cfg.custom_fse:
+        from .fse_jax import encode_prepared
+
+        seq_bytes, seq_len = jax.vmap(
+            lambda p, n: encode_prepared(p, n, msb, cfg.seq_cap)
+        )(prep, seqs.nseq)
+    else:
+        seq_bytes, seq_len = jax.vmap(
+            lambda x, y, z, w: encode_sequences_predefined(
+                x[:msb], y[:msb], z[:msb], w, msb, cfg.seq_cap
+            )
+        )(seqs.ll, seqs.ml, seqs.ob, seqs.nseq)
+    return jax.vmap(
+        lambda b, l, li, nl, ns, sb, sl: _assemble_one(b, l, li, nl, ns, sb, sl, cfg)
+    )(blocks, lengths, seqs.lits, seqs.nlit, seqs.nseq, seq_bytes, seq_len)
+
+
+def compress_blocks_staged(blocks: jax.Array, lengths: jax.Array, cfg: PipelineConfig):
+    """Host-staged batched block compression (same results as compress_blocks)."""
+    seqs, prep, bmax_dev = _parse_prep_stage(blocks, lengths, cfg)
+    bmax = int(jax.device_get(bmax_dev))
+    full = cfg.max_seqs
+    msb = next((b for b in (2048, 8192) if b < full and bmax <= b), full)
+    return _encode_stage(blocks, lengths, seqs, prep, cfg, msb)
+
+
 # --- Host-side framing ---------------------------------------------------------------
 
 
@@ -276,7 +349,7 @@ def compress(
         return out
     blocks, lengths = _split_blocks(data, cfg.block_size)
     contents, clens, btypes = jax.device_get(
-        compress_blocks(jnp.asarray(blocks), jnp.asarray(lengths), cfg)
+        compress_blocks_staged(jnp.asarray(blocks), jnp.asarray(lengths), cfg)
     )
     parts = [write_frame_header(len(data), checksum=checksum)]
     nblocks = len(lengths)
