@@ -122,6 +122,51 @@ def test_encode_sequences_auto_section(case):
     assert np.array_equal(seqs.off_bases, ob)
 
 
+def test_fse_weights_payload_vs_host_decoder():
+    """Device FSE-compressed Huffman weights decode on the host oracle."""
+    from tpu_zstd.format.fse import fse_decompress_weights
+    from tpu_zstd.ops.huffman_jax import build_lengths, weights_fse_payload
+
+    rng = np.random.default_rng(11)
+    f = jax.jit(weights_fse_payload)
+    checked = 0
+    for trial in range(12):
+        span = int(rng.integers(20, 257))
+        nlit = int(rng.integers(300, 5000))
+        if trial % 3 == 0:
+            lits = np.minimum(rng.geometric(0.05, nlit) - 1, span - 1).astype(np.int32)
+        else:
+            lits = rng.integers(0, span, nlit).astype(np.int32)
+        hist = np.bincount(lits, minlength=256).astype(np.int32)
+        L, okl = jax.device_get(
+            jax.jit(build_lengths)(jnp.asarray(hist), jnp.asarray(nlit))
+        )
+        if not okl:
+            continue
+        pay, plen, ok = jax.device_get(f(jnp.asarray(L)))
+        if not ok:
+            continue
+        w = fse_decompress_weights(bytes(np.asarray(pay)[: int(plen)]), max_weights=255)
+        tl = int(L[L > 0].max())
+        num = int(np.max(np.nonzero(L)[0]))
+        expect = np.where(L > 0, tl + 1 - L, 0)[:num]
+        assert np.array_equal(np.asarray(w[:num]), expect), trial
+        checked += 1
+    assert checked >= 5
+
+
+def test_high_symbol_literals_roundtrip_zstd():
+    """Blocks whose literals use symbols >128 now take Huffman via FSE weights."""
+    rng = np.random.default_rng(13)
+    data = np.clip(128 + (rng.geometric(0.08, 250000) - 1), 0, 255).astype(np.uint8).tobytes()
+    from tpu_zstd.ops.pipeline import DEFAULT_CONFIG, compress
+
+    frame = compress(data, DEFAULT_CONFIG, checksum=True)
+    out = zstandard.ZstdDecompressor().decompress(frame, max_output_size=len(data) + 16)
+    assert out == data
+    assert len(frame) < len(data)  # Huffman literals engaged (raw would be ~1:1)
+
+
 def test_pipeline_custom_fse_roundtrip_zstd():
     from bench import make_corpus
     from tpu_zstd.ops.pipeline import DEFAULT_CONFIG, compress

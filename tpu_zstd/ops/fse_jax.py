@@ -246,33 +246,36 @@ def _state_chain3(
 
     Returns (pre (3, max_seqs), fin (3,)).
     """
+    K = next3.shape[0]
     S = next3.shape[1]
     ts = next3.shape[2]
     nc = max_seqs // CHUNK
     n3f = next3.astype(F32)
 
     oh0 = (rsym3[:, 0][:, None] == jnp.arange(S, dtype=I32)).astype(F32)
-    init = jnp.sum(oh0 * init3.astype(F32), axis=1).astype(I32)  # (3,)
+    init = jnp.sum(oh0 * init3.astype(F32), axis=1).astype(I32)  # (K,)
 
-    st_sym = jnp.roll(rsym3, -1, axis=1).reshape(3, nc, CHUNK)
+    st_sym = jnp.roll(rsym3, -1, axis=1).reshape(K, nc, CHUNK)
     t_idx = jnp.arange(max_seqs, dtype=I32).reshape(nc, CHUNK)
-    st_valid = (t_idx + 1) < nseq  # (nc, CHUNK)
+    # nseq may be a scalar (all streams share a count) or (K,) per-stream.
+    nseq_k = jnp.broadcast_to(jnp.asarray(nseq, I32).reshape(-1), (K,))
+    st_valid = (t_idx + 1)[None, :, :] < nseq_k[:, None, None]  # (K, nc, CHUNK)
 
-    def rows_of(sym):  # (3, nc) -> (3, nc, ts)
+    def rows_of(sym):  # (K, nc) -> (K, nc, ts)
         oh = (sym[..., None] == jnp.arange(S, dtype=I32)).astype(F32)
         return jnp.einsum("snk,skt->snt", oh, n3f)
 
     # Phase A: per-chunk composed transition over all ts entry states.
-    def stepA(states, inp):  # states (3, nc, ts) = f_chunk(entry_state)
+    def stepA(states, inp):  # states (K, nc, ts) = f_chunk(entry_state)
         sym, valid = inp
         rows = rows_of(sym)
         oh = (states[..., None] == jnp.arange(ts, dtype=I32)).astype(F32)
         nxt = jnp.sum(rows[:, :, None, :] * oh, axis=-1).astype(I32)
-        return jnp.where(valid[None, :, None], nxt, states), None
+        return jnp.where(valid[:, :, None], nxt, states), None
 
-    all0 = jnp.broadcast_to(jnp.arange(ts, dtype=I32)[None, None, :], (3, nc, ts))
+    all0 = jnp.broadcast_to(jnp.arange(ts, dtype=I32)[None, None, :], (K, nc, ts))
     chunk_fn, _ = jax.lax.scan(
-        stepA, all0, (st_sym.transpose(2, 0, 1), st_valid.T)
+        stepA, all0, (st_sym.transpose(2, 0, 1), st_valid.transpose(2, 0, 1))
     )
 
     # Phase B: thread the real entry states through chunk functions.
@@ -284,18 +287,18 @@ def _state_chain3(
     fin, entries = jax.lax.scan(stepB, init, chunk_fn.transpose(1, 0, 2))
 
     # Phase C: re-walk each chunk, recording pre-transition states.
-    def stepC(states, inp):  # states (3, nc)
+    def stepC(states, inp):  # states (K, nc)
         sym, valid = inp
         rows = rows_of(sym)
         oh = (states[..., None] == jnp.arange(ts, dtype=I32)).astype(F32)
         nxt = jnp.sum(rows * oh, axis=-1).astype(I32)
-        return jnp.where(valid[None, :], nxt, states), states
+        return jnp.where(valid, nxt, states), states
 
     _, pre_seq = jax.lax.scan(
-        stepC, entries.T, (st_sym.transpose(2, 0, 1), st_valid.T)
+        stepC, entries.T, (st_sym.transpose(2, 0, 1), st_valid.transpose(2, 0, 1))
     )
     # pre_seq (CHUNK, 3, nc): state before step s = c*CHUNK + i.
-    pre_by_step = pre_seq.transpose(1, 2, 0).reshape(3, -1)
+    pre_by_step = pre_seq.transpose(1, 2, 0).reshape(K, -1)
     pre = jnp.roll(pre_by_step, 1, axis=1)
     return pre, fin
 

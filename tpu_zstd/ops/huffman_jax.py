@@ -89,14 +89,18 @@ def build_lengths(cnt: jax.Array, nlit: jax.Array) -> tuple[jax.Array, jax.Array
     D = TSIZE - jnp.sum(jnp.where(present, (1 << (MAX_BITS - safe_l)).astype(I32), 0))
 
     # Exact repair: hand out the remaining budget by promoting symbols
-    # (l -> l-1 gains 2^(11-l)); two passes over gain sizes, largest first.
+    # (l -> l-1 costs 2^(11-l) budget, saves cnt bits); two passes over cost
+    # sizes, and within a level promote the highest-count symbols first.
+    sym_idx = jnp.arange(256, dtype=I32)
     for _ in range(2):
         for l in range(2, MAX_BITS + 1):
             g = 1 << (MAX_BITS - l)
             cand = present & (lengths == l)
             k = jnp.minimum(jnp.sum(cand.astype(I32)), D // g)
-            r = jnp.cumsum(cand.astype(I32)) - 1
-            dec = cand & (r < k)
+            key = jnp.where(cand, -cnt, 1)
+            _, order = jax.lax.sort((key, sym_idx), num_keys=1, is_stable=True)
+            _, rank = jax.lax.sort((order, sym_idx), num_keys=1, is_stable=True)
+            dec = cand & (rank < k)
             lengths = jnp.where(dec, l - 1, lengths)
             D = D - k * g
     ok = (D == 0) & (nsym >= 2)
@@ -144,6 +148,103 @@ def weights_header(lengths: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]
     hdr = hdr.at[0].set((127 + num).astype(jnp.uint8))
     hdr_len = 1 + (num + 1) // 2
     return hdr, hdr_len, ok
+
+
+WEIGHT_CAP = 160  # payload byte capacity for the FSE weight header (must be < 128 used)
+
+
+def weights_fse_payload(lengths: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """FSE-compressed Huffman weights (RFC 8878 §4.2.1.1, headerByte < 128).
+
+    The reference decodes this format (reference src/cuda_zstd_huffman.cu:270
+    `decode_huffman_weights_fse`) but its compressor never emits it; emitting
+    it lifts the direct-representation limit of 128 explicit weights, so
+    blocks whose literals use symbols above 128 (any binary data) can take
+    Huffman literals at all.
+
+    Returns (payload[WEIGHT_CAP] uint8, payload_len, ok). The payload is
+    NCount header + interleaved 2-state bitstream; the caller prepends the
+    headerByte (= payload_len) and must check ok (>= 2 distinct weights and
+    payload_len < 128).
+    """
+    from .bitpack import deposit_bits, dynroll, place, words_to_bytes
+    from .fse_jax import _state_chain3, pick_cols, pick_rows
+    from .fse_tables_jax import build_dense_tables, histogram_codes, ncount_fields, normalize_64
+
+    NW = 256
+    sym_ar = jnp.arange(NW, dtype=I32)
+    table_log = jnp.max(lengths)
+    weights = jnp.where(lengths > 0, table_log + 1 - lengths, 0)
+    last_present = jnp.max(jnp.where(lengths > 0, sym_ar, -1))
+    num = last_present  # explicit weights = weights[:last_present]
+    wexp = jnp.where(sym_ar < num, weights, 0)
+
+    cnt = histogram_codes(wexp, num, 13)
+    npres = jnp.sum((cnt > 0).astype(I32))
+    norm = normalize_64(cnt, num)
+    nc_vals, nc_lens, nc_bytes = ncount_fields(norm)
+    next2d, nb2d, init = build_dense_tables(norm)
+
+    # Reversed explicit weights r[t] = wexp[num-1-t]; split into the two
+    # interleaved chains (A = even t, B = odd t — stream assignment to the
+    # libzstd s1/s2 labels depends on parity only at flush time).
+    r = dynroll(jnp.flip(wexp), (num - NW) % NW, NW)
+    rA = r[0::2]
+    rB = r[1::2]
+    nA = (num + 1) // 2
+    nB = num // 2
+    tabs2 = jnp.stack([next2d, next2d])
+    init2 = jnp.stack([init, init])
+    rAB = jnp.stack([rA, rB])
+    n2 = jnp.stack([nA, nB])
+    pre2, fin2 = _state_chain3(tabs2, init2, rAB, n2, NW // 2)
+    preA, preB = pre2[0], pre2[1]
+    finA, finB = fin2[0], fin2[1]
+
+    def sb(pre, rs):
+        rows = pick_rows(nb2d, rs)
+        nb = pick_cols(rows, pre).astype(I32)
+        val = (64 + pre) & ((1 << nb.astype(U32)).astype(I32) - 1)
+        return nb, val
+
+    nbA, vA = sb(preA, rA)
+    nbB, vB = sb(preB, rB)
+    # Interleave to t order (A0,B0,A1,B1,...): field at t uses chain sub-index
+    # t//2; fields live for 2 <= t < num.
+    nb_t = jnp.stack([nbA, nbB], axis=1).reshape(-1)
+    v_t = jnp.stack([vA, vB], axis=1).reshape(-1)
+    t_ar = jnp.arange(NW, dtype=I32)
+    live = (t_ar >= 2) & (t_ar < num)
+    lens_t = jnp.where(live, nb_t, 0)
+
+    # Tail: libzstd flushes s2 then s1; with odd num s2 is the B chain, with
+    # even num it is the A chain. 6 bits each (table_log TL), then sentinel.
+    odd = (num & 1) == 1
+    t1 = jnp.where(odd, finB, finA)
+    t2 = jnp.where(odd, finA, finB)
+    has = (num >= 2).astype(I32)
+    all_vals = jnp.concatenate(
+        [v_t, jnp.stack([t1, t2, jnp.ones((), I32)])]
+    ).astype(U32)
+    all_lens = jnp.concatenate([lens_t, jnp.stack([has * 6, has * 6, has * 1])])
+
+    words, total_bits = deposit_bits(all_vals, all_lens, WEIGHT_CAP // 4)
+    stream_bytes = (total_bits + 7) >> 3
+
+    stream = words_to_bytes(words)
+    out = place(_nc_desc_bytes(nc_vals, nc_lens), nc_bytes, jnp.zeros((), I32), WEIGHT_CAP, 1)
+    out = out + place(stream, stream_bytes, nc_bytes, WEIGHT_CAP, 64)
+    payload_len = nc_bytes + stream_bytes
+    ok = (npres >= 2) & (num >= 2) & (payload_len < 128)
+    return out, payload_len, ok
+
+
+def _nc_desc_bytes(nc_vals: jax.Array, nc_lens: jax.Array) -> jax.Array:
+    """NCount field deposit -> byte array (weights alphabet, small)."""
+    from .bitpack import deposit_bits, words_to_bytes
+
+    words = deposit_bits(nc_vals, nc_lens, 16)[0]
+    return words_to_bytes(words)
 
 
 def _lut256(table: jax.Array, idx: jax.Array) -> jax.Array:
@@ -257,8 +358,21 @@ def compress_literals_huffman(
     lengths, ok_l = build_lengths(hist, nlit)
     codes = canonical_codes(lengths)
     whdr, wlen, ok_w = weights_header(lengths)
+    fpay, flen, ok_f = weights_fse_payload(lengths)
     body, blen, ok_s = encode_literals_4stream(lits, nlit, lengths, codes, out_cap)
-    cap2 = out_cap + 144
-    out = place(whdr, wlen, jnp.zeros((), I32), cap2, 1)
-    out = out + place(body, blen, wlen, cap2, 256)
-    return out, wlen + blen, ok_l & ok_w & ok_s
+
+    # Weights representation: FSE-compressed (headerByte < 128 = its size)
+    # when it is valid and smaller, or when direct is impossible (>128
+    # explicit weights); else direct 4-bit.
+    use_fse = ok_f & ((~ok_w) | (1 + flen < wlen))
+    HCAP = max(129, WEIGHT_CAP + 1)
+    hdr_f = jnp.concatenate([jnp.zeros(1, jnp.uint8), fpay])
+    hdr_f = hdr_f.at[0].set(flen.astype(jnp.uint8))
+    pad_to = lambda a: jnp.pad(a, (0, HCAP - a.shape[0]))
+    hdr_arr = jnp.where(use_fse, pad_to(hdr_f), pad_to(whdr))
+    hdr_len = jnp.where(use_fse, 1 + flen, wlen)
+
+    cap2 = out_cap + 176
+    out = place(hdr_arr, hdr_len, jnp.zeros((), I32), cap2, 1)
+    out = out + place(body, blen, hdr_len, cap2, 256)
+    return out, hdr_len + blen, ok_l & (ok_w | ok_f) & ok_s

@@ -200,7 +200,7 @@ def _assemble_one(
         hh = _lit_compressed_header(nlit, hlen, h_hdr_len)
         huff_total = h_hdr_len + hlen
         use_h = h_ok & (huff_total < raw_total)
-        litcap = max(N + 8, hcap + 160)
+        litcap = max(N + 8, hcap + 200)
         litsec_h = place(hh, h_hdr_len, zero, litcap, 1) + place(
             hpay, hlen, h_hdr_len, litcap, 8
         )
