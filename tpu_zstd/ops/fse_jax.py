@@ -52,7 +52,7 @@ U32 = jnp.uint32
 # on v5e with bit-identical output.
 F32 = jnp.bfloat16
 
-CHUNK = 128  # sequences per chunk in the state pre-pass
+CHUNK = 64  # sequences per chunk in the state pre-pass (2*CHUNK serial steps)
 
 
 # --- Encode tables (numpy precompute; tiny, built once at import) -------------------
@@ -278,13 +278,21 @@ def _state_chain3(
         stepA, all0, (st_sym.transpose(2, 0, 1), st_valid.transpose(2, 0, 1))
     )
 
-    # Phase B: thread the real entry states through chunk functions.
-    def stepB(state, fn_row):  # state (3,); fn_row (3, ts)
-        oh = (state[:, None] == jnp.arange(ts, dtype=I32)).astype(F32)
-        nxt = jnp.sum(fn_row.astype(F32) * oh, axis=1).astype(I32)
-        return nxt, state
+    # Phase B: log-depth prefix composition of the chunk transition functions
+    # (function tables compose by lookup: (g after f)[e] = g[f[e]]), then read
+    # each chunk's entry state off the exclusive prefix at `init`. Replaces an
+    # nc-step sequential scan with ~log2(nc) batched one-hot contractions.
+    def compose(a, b):  # a then b, both (..., ts) function tables
+        oh = (a[..., None] == jnp.arange(ts, dtype=I32)).astype(F32)
+        return jnp.sum(oh * b[..., None, :].astype(F32), axis=-1).astype(I32)
 
-    fin, entries = jax.lax.scan(stepB, init, chunk_fn.transpose(1, 0, 2))
+    prefix = jax.lax.associative_scan(compose, chunk_fn, axis=1)  # inclusive
+    ident = jnp.broadcast_to(jnp.arange(ts, dtype=I32)[None, None, :], (K, 1, ts))
+    exc = jnp.concatenate([ident, prefix[:, :-1]], axis=1)  # (K, nc, ts)
+    oh_init = (init[:, None, None] == jnp.arange(ts, dtype=I32)).astype(F32)
+    entries = jnp.sum(exc.astype(F32) * oh_init, axis=-1).astype(I32)  # (K, nc)
+    oh_last = (init[:, None] == jnp.arange(ts, dtype=I32)).astype(F32)
+    fin = jnp.sum(prefix[:, -1].astype(F32) * oh_last, axis=-1).astype(I32)  # (K,)
 
     # Phase C: re-walk each chunk, recording pre-transition states.
     def stepC(states, inp):  # states (K, nc)
@@ -295,7 +303,7 @@ def _state_chain3(
         return jnp.where(valid, nxt, states), states
 
     _, pre_seq = jax.lax.scan(
-        stepC, entries.T, (st_sym.transpose(2, 0, 1), st_valid.transpose(2, 0, 1))
+        stepC, entries, (st_sym.transpose(2, 0, 1), st_valid.transpose(2, 0, 1))
     )
     # pre_seq (CHUNK, 3, nc): state before step s = c*CHUNK + i.
     pre_by_step = pre_seq.transpose(1, 2, 0).reshape(K, -1)

@@ -13,10 +13,10 @@ All stages are jittable and batch over blocks:
   cannot reach Kraft equality fall back to Raw literals)
 - canonical code assignment (longest codes smallest, natural order within a
   length) as closed-form vector ops
-- direct 4-bit weight serialization (blocks whose last present symbol exceeds
-  index 128 fall back to Raw — FSE-compressed weights are a later extension)
+- weight serialization: direct 4-bit, or FSE-compressed 2-state stream
+  (weights_fse_payload) when smaller or when >128 explicit weights
 - 4 independent backward bitstreams + jump table, deposited in parallel
-  (ops/bitpack.py)
+  (ops/bitpack.py sort-based deposit)
 """
 
 from __future__ import annotations
@@ -283,7 +283,7 @@ def encode_literals_4stream(
     order), and adjacent same-stream symbols merge into one field (two <=11-bit
     codes always fit 32 bits). Code+length ride one packed 16-bit LUT value.
     """
-    from .bitpack import deposit_bits_at, dynroll, words_to_bytes
+    from .bitpack import deposit_bits_at_sorted, dynroll, words_to_bytes
 
     N = lits.shape[0]
     seg = (nlit + 3) // 4
@@ -328,7 +328,7 @@ def encode_literals_4stream(
     )
 
     num_words = out_cap // 4
-    words = deposit_bits_at(all_vals, all_lens, all_offs, num_words)
+    words = deposit_bits_at_sorted(all_vals, all_lens, all_offs, num_words)
 
     jump = jnp.stack(
         [

@@ -38,7 +38,7 @@ I32 = jnp.int32
 U32 = jnp.uint32
 
 HASH_PRIME = 2654435761
-SEG_LOG = 10  # greedy-parse segment (1024 bytes)
+SEG_LOG = 10  # default greedy-parse segment (1 KB; see PipelineConfig.seg_log)
 SEG = 1 << SEG_LOG
 
 
@@ -133,26 +133,28 @@ def find_matches(
 
 
 def greedy_parse(
-    step: jax.Array, matched: jax.Array, defer: jax.Array | None = None
+    step: jax.Array, matched: jax.Array, defer: jax.Array | None = None, seg: int = SEG
 ) -> tuple[jax.Array, jax.Array]:
     """Exact greedy (optionally 1-step lazy) parse via one scan over
     segment-local position index.
 
     step[i]: parse advance at i (match length if taken, else 1), already
-    truncated so i + step[i] never crosses a SEG boundary.
+    truncated so i + step[i] never crosses a `seg` boundary (the scan length
+    is `seg` — smaller segments parse faster; truncated long matches are
+    re-joined by the same-offset merge pass, costing ~0.2% ratio at 512).
     defer[i]: lazy hint — True when position i+1 has a strictly better match,
     so the parse emits a literal at i instead (reference lazy strategy,
     src/lz77_parallel.cu / host format/lz77.py lazy=1).
     Returns (is_seq (N,), is_lit (N,)) in position order.
     """
     N = step.shape[0]
-    nseg = N // SEG
-    st = step.reshape(nseg, SEG).T          # (SEG, nseg)
-    mt = matched.reshape(nseg, SEG).T
+    nseg = N // seg
+    st = step.reshape(nseg, seg).T          # (seg, nseg)
+    mt = matched.reshape(nseg, seg).T
     if defer is None:
-        df = jnp.zeros((SEG, nseg), bool)
+        df = jnp.zeros((seg, nseg), bool)
     else:
-        df = defer.reshape(nseg, SEG).T
+        df = defer.reshape(nseg, seg).T
 
     def body(carry, xs):
         na, me = carry                       # next-allowed, match-end (per segment)
@@ -165,7 +167,7 @@ def greedy_parse(
         is_lit = p >= new_me
         return (new_na, new_me), (take, is_lit)
 
-    p_idx = jnp.arange(SEG, dtype=I32)
+    p_idx = jnp.arange(seg, dtype=I32)
     init = (jnp.zeros(nseg, I32), jnp.zeros(nseg, I32))
     _, (is_seq_t, is_lit_t) = jax.lax.scan(body, init, (p_idx, (st, mt, df)))
     return is_seq_t.T.reshape(-1), is_lit_t.T.reshape(-1)
@@ -183,6 +185,7 @@ def parse_block(
     lazy: bool = False,
     block_start: jax.Array | int = 0,
     win_start: jax.Array | int = 0,
+    seg_log: int = SEG_LOG,
 ) -> BlockSequences:
     """Greedy-parse one (padded) block into sequences. block: (N,) uint8/int32.
 
@@ -201,7 +204,8 @@ def parse_block(
 
     # Truncate matches at segment boundaries so segments parse independently;
     # the merge pass below re-joins same-offset continuations.
-    room = SEG - (pos & (SEG - 1))
+    seg = 1 << seg_log
+    room = seg - (pos & (seg - 1))
     ml_t = jnp.minimum(bml, room)
     matched = (ml_t >= min_match) & (boff > 0) & (pos < n) & (pos >= block_start)
     step = jnp.where(matched, ml_t, 1)
@@ -212,7 +216,7 @@ def parse_block(
         next_matched = jnp.roll(matched, -1).at[-1].set(False)
         defer = matched & next_matched & (next_ml > ml_t + 1)
 
-    is_seq, is_lit = greedy_parse(step, matched, defer)
+    is_seq, is_lit = greedy_parse(step, matched, defer, seg=seg)
     is_seq = is_seq & (pos < n)
     is_lit = is_lit & (pos < n) & (pos >= block_start)
     nseq = jnp.sum(is_seq.astype(I32))

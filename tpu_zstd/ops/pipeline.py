@@ -43,6 +43,7 @@ class PipelineConfig:
     dict_cap: int = 0  # dictionary-window prefix capacity (0 = no dictionary)
     huffman_literals: bool = True  # compress literals (reference emits Raw only)
     custom_fse: bool = True  # per-block FSE sequence tables (ops/fse_tables_jax.py)
+    seg_log: int = 10  # greedy-parse segment log (scan length = 2^seg_log)
 
     @property
     def max_seqs(self) -> int:
@@ -97,6 +98,7 @@ def _parse_one(block: jax.Array, n: jax.Array, cfg: PipelineConfig, dlen: jax.Ar
         lazy=cfg.lazy,
         block_start=DC,
         win_start=DC - dlen,
+        seg_log=cfg.seg_log,
     )
 
 
@@ -309,13 +311,44 @@ def _encode_stage(blocks, lengths, seqs, prep, cfg: PipelineConfig, msb: int):
     )(blocks, lengths, seqs.lits, seqs.nlit, seqs.nseq, seq_bytes, seq_len)
 
 
+def _pick_bucket(bmax: int, full: int) -> int:
+    return next((b for b in (2048, 8192) if b < full and bmax <= b), full)
+
+
 def compress_blocks_staged(blocks: jax.Array, lengths: jax.Array, cfg: PipelineConfig):
     """Host-staged batched block compression (same results as compress_blocks)."""
     seqs, prep, bmax_dev = _parse_prep_stage(blocks, lengths, cfg)
     bmax = int(jax.device_get(bmax_dev))
-    full = cfg.max_seqs
-    msb = next((b for b in (2048, 8192) if b < full and bmax <= b), full)
+    msb = _pick_bucket(bmax, cfg.max_seqs)
     return _encode_stage(blocks, lengths, seqs, prep, cfg, msb)
+
+
+def compress_blocks_staged_many(batches, cfg: PipelineConfig):
+    """Pipelined staged compression over an iterable of (blocks, lengths).
+
+    Keeps one batch's parse in flight while the previous batch's bucket scalar
+    crosses the host link, hiding the per-batch round-trip + dispatch gaps
+    (the reference overlaps batches with its 3-slot ring + triple streams,
+    reference src/pipeline_manager.hpp:12-70; here JAX async dispatch plays
+    the streams' role and only the bucket fetch synchronizes).
+    Returns a list of (contents, content_lens, block_types) device tuples.
+    """
+    results = []
+    pending = []
+    for jb, jl in batches:
+        pending.append((jb, jl, _parse_prep_stage(jb, jl, cfg)))
+        if len(pending) >= 2:
+            results.append(_drain_one(pending, cfg))
+    while pending:
+        results.append(_drain_one(pending, cfg))
+    return results
+
+
+def _drain_one(pending, cfg: PipelineConfig):
+    jb, jl, (seqs, prep, bmax_dev) = pending.pop(0)
+    bmax = int(jax.device_get(bmax_dev))
+    msb = _pick_bucket(bmax, cfg.max_seqs)
+    return _encode_stage(jb, jl, seqs, prep, cfg, msb)
 
 
 # --- Host-side framing ---------------------------------------------------------------
