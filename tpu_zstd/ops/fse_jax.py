@@ -445,12 +445,10 @@ def prepare_sequences_auto(
     ml = ml.astype(I32)
     ob = ob.astype(I32)
 
-    def rev(x):
-        return dynroll(jnp.flip(x), (nseq - ms) % ms, ms)
-
-    r_ll = rev(ll)
-    r_ml = rev(ml)
-    r_ob = rev(ob)
+    # Reverse all three columns in ONE stacked flip+roll (same shift).
+    stacked = jnp.stack([ll, ml, ob])
+    rev3 = dynroll(jnp.flip(stacked, axis=-1), (nseq - ms) % ms, ms)
+    r_ll, r_ml, r_ob = rev3[0], rev3[1], rev3[2]
     r_llc = ll_code_jnp(r_ll)
     r_mlc = ml_code_jnp(r_ml)
     r_ofc = of_code_jnp(r_ob)

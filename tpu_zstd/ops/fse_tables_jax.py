@@ -85,7 +85,7 @@ def histogram_codes(codes: jax.Array, nvalid: jax.Array, nsym: int) -> jax.Array
     pos = jnp.arange(n, dtype=I32)
     vals = jnp.where(pos < nvalid, codes.astype(I32), nsym)
     sv = jnp.sort(vals)
-    edges = jnp.searchsorted(sv, jnp.arange(nsym + 1, dtype=I32))
+    edges = jnp.searchsorted(sv, jnp.arange(nsym + 1, dtype=I32), method="scan_unrolled")
     return (edges[1:] - edges[:-1]).astype(I32)
 
 

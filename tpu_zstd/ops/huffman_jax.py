@@ -57,7 +57,7 @@ def literal_histogram(lits: jax.Array, nlit: jax.Array) -> jax.Array:
     pos = jnp.arange(N, dtype=I32)
     vals = jnp.where(pos < nlit, lits.astype(I32), 256)
     sv = jnp.sort(vals)
-    edges = jnp.searchsorted(sv, jnp.arange(257, dtype=I32))
+    edges = jnp.searchsorted(sv, jnp.arange(257, dtype=I32), method="scan_unrolled")
     return (edges[1:] - edges[:-1]).astype(I32)
 
 
@@ -91,15 +91,18 @@ def build_lengths(cnt: jax.Array, nlit: jax.Array) -> tuple[jax.Array, jax.Array
     # Exact repair: hand out the remaining budget by promoting symbols
     # (l -> l-1 costs 2^(11-l) budget, saves cnt bits); two passes over cost
     # sizes, and within a level promote the highest-count symbols first.
+    # Count order is one global precedence matrix (strict count-rank order),
+    # so per-level ranking is a single bf16 matvec instead of two sorts.
     sym_idx = jnp.arange(256, dtype=I32)
+    _, order = jax.lax.sort((-cnt, sym_idx), num_keys=1, is_stable=True)
+    _, rg = jax.lax.sort((order, sym_idx), num_keys=1, is_stable=True)
+    prec = (rg[:, None] > rg[None, :]).astype(jnp.bfloat16)  # prec[s,t]: t before s
     for _ in range(2):
         for l in range(2, MAX_BITS + 1):
             g = 1 << (MAX_BITS - l)
             cand = present & (lengths == l)
             k = jnp.minimum(jnp.sum(cand.astype(I32)), D // g)
-            key = jnp.where(cand, -cnt, 1)
-            _, order = jax.lax.sort((key, sym_idx), num_keys=1, is_stable=True)
-            _, rank = jax.lax.sort((order, sym_idx), num_keys=1, is_stable=True)
+            rank = (prec @ cand.astype(jnp.bfloat16)).astype(I32)  # <= 255: exact
             dec = cand & (rank < k)
             lengths = jnp.where(dec, l - 1, lengths)
             D = D - k * g

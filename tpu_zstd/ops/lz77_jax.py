@@ -221,11 +221,19 @@ def parse_block(
     is_lit = is_lit & (pos < n) & (pos >= block_start)
     nseq = jnp.sum(is_seq.astype(I32))
 
-    # Extraction via compaction-sort (selected rows first, in position order).
-    sel_key = jnp.where(is_seq, pos, N)
-    _, e_pos, e_ml, e_off = jax.lax.sort(
-        (sel_key, pos, ml_t, boff), num_keys=1, is_stable=True
+    # Extraction via ONE compaction-sort shared with the literal compaction:
+    # sequences first (position order), then literal bytes, then the rest —
+    # the literal run is re-aligned to the front with static rolls (one sort
+    # of N rows replaces the previous two).
+    nlit = jnp.sum(is_lit.astype(I32))
+    sel_key = jnp.where(is_seq, pos, jnp.where(is_lit, N + pos, 2 * N + pos))
+    _, e_pos, e_ml, e_off, e_byte = jax.lax.sort(
+        (sel_key, pos, ml_t, boff, block.astype(I32)), num_keys=1, is_stable=True
     )
+    from .bitpack import dynroll_left
+
+    nseq_pre = jnp.sum(is_seq.astype(I32))
+    lits = dynroll_left(e_byte, nseq_pre, N).astype(jnp.uint8)
     starts = e_pos[:max_seqs]
     mls = e_ml[:max_seqs]
     offs = e_off[:max_seqs]
@@ -268,11 +276,5 @@ def parse_block(
     prev_off2 = jnp.roll(off2, 1).at[0].set(-1)
     use_rep0 = valid2 & (k2 > 0) & (ll2 > 0) & (off2 == prev_off2)
     ob = jnp.where(valid2, jnp.where(use_rep0, 1, off2 + 3), 0)
-
-    # Literal compaction via sort.
-    nlit = jnp.sum(is_lit.astype(I32))
-    lkey = jnp.where(is_lit, pos, N)
-    _, lits = jax.lax.sort((lkey, block.astype(I32)), num_keys=1, is_stable=True)
-    lits = lits.astype(jnp.uint8)
 
     return BlockSequences(ll2, ml2, ob, starts2, nseq2, lits, nlit)
