@@ -150,3 +150,46 @@ def test_xxhash_vectors():
     # Cross-check long-input path against zstandard's frame checksum by
     # building a frame with checksum and verifying decode (done in frame tests).
     assert isinstance(xxh64(blob), int)
+
+
+def test_deposit_bits_tree_matches_scatter():
+    """Tree-concatenation deposit is bit-exact vs the scatter reference."""
+    import jax.numpy as jnp
+
+    from tpu_zstd.ops.bitpack import deposit_bits_at, deposit_bits_tree
+
+    rng = np.random.default_rng(7)
+    for M, lmax in [(2, 5), (37, 32), (1023, 22), (4096, 17), (9000, 11)]:
+        lens = rng.integers(0, lmax + 1, M).astype(np.int32)
+        vals = rng.integers(0, 1 << 32, M, dtype=np.uint64).astype(np.uint32)
+        nw = int(lens.sum()) // 32 + 2
+        offs = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int32)
+        ref = deposit_bits_at(jnp.asarray(vals), jnp.asarray(lens), jnp.asarray(offs), nw)
+        got, bits = deposit_bits_tree(jnp.asarray(vals), jnp.asarray(lens), nw, lmax)
+        assert int(bits) == int(lens.sum())
+        assert np.array_equal(np.asarray(ref), np.asarray(got)), (M, lmax)
+
+
+def test_shift_words_places_streams():
+    """shift_words at byte offsets composes streams like sequential writes."""
+    import jax.numpy as jnp
+
+    from tpu_zstd.ops.bitpack import shift_words, words_to_bytes
+
+    rng = np.random.default_rng(8)
+    a = rng.integers(0, 1 << 32, 8, dtype=np.uint64).astype(np.uint32)
+    b = rng.integers(0, 1 << 32, 8, dtype=np.uint64).astype(np.uint32)
+    nbytes_a = 13  # a occupies 13 bytes (content beyond must be zero)
+    a[4:] = 0
+    a[3] &= 0xFF
+    out_words = 20
+    placed = shift_words(jnp.asarray(a), 0, out_words) + shift_words(
+        jnp.asarray(b), nbytes_a * 8, out_words
+    )
+    got = np.asarray(words_to_bytes(placed))
+    exp = np.zeros(out_words * 4, np.uint8)
+    ab = np.asarray(words_to_bytes(jnp.asarray(a)))
+    bb = np.asarray(words_to_bytes(jnp.asarray(b)))
+    exp[:nbytes_a] = ab[:nbytes_a]
+    exp[nbytes_a : nbytes_a + 32] = bb
+    assert np.array_equal(got, exp)

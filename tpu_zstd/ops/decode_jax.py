@@ -180,7 +180,7 @@ def decode_sequences_device(
     def mk(msb):
         def branch(_):
             carry, (o_ll, o_ml, o_off) = jax.lax.scan(
-                body, init, jnp.arange(msb, dtype=I32)
+                body, init, jnp.arange(msb, dtype=I32), unroll=4
             )
             padw = ((0, 0), (0, max_seqs - msb))
             return (
@@ -264,11 +264,19 @@ def execute_sequences_device(
         (src >= 0) & (src < W), -(L + src) - 1, jnp.where(src >= 0, src - W, src)
     )
 
-    # Pointer doubling: chase match chains to literal/window sources.
-    nrounds = max(1, (N - 1).bit_length())
-    for _ in range(nrounds):
+    # Pointer doubling: chase match chains to literal/window sources. Chain
+    # depth halves every round, so log2(N) rounds always suffice — but real
+    # payloads resolve in a handful, and each round is a full (B, N) gather
+    # (~the whole cost of this function on v5e), so exit as soon as every
+    # source is terminal instead of running the worst case.
+    def _unresolved(src):
+        return jnp.any(src >= 0)
+
+    def _chase(src):
         chased = jnp.take_along_axis(src, jnp.clip(src, 0, N - 1), axis=1)
-        src = jnp.where(src >= 0, chased, src)
+        return jnp.where(src >= 0, chased, src)
+
+    src = jax.lax.while_loop(_unresolved, _chase, src)
 
     # All sources now terminal (negative). Decode the two spaces.
     term = -src - 1  # literal index or L + window index

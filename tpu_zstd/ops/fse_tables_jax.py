@@ -80,13 +80,12 @@ def _floor_log2(v: jax.Array) -> jax.Array:
 
 
 def histogram_codes(codes: jax.Array, nvalid: jax.Array, nsym: int) -> jax.Array:
-    """(nsym,) counts of codes[:nvalid] — sort + searchsorted, no scatter."""
+    """(nsym,) counts of codes[:nvalid] — broadcast compare-reduce."""
     n = codes.shape[0]
     pos = jnp.arange(n, dtype=I32)
     vals = jnp.where(pos < nvalid, codes.astype(I32), nsym)
-    sv = jnp.sort(vals)
-    edges = jnp.searchsorted(sv, jnp.arange(nsym + 1, dtype=I32), method="scan_unrolled")
-    return (edges[1:] - edges[:-1]).astype(I32)
+    k = jnp.arange(nsym, dtype=I32)
+    return jnp.sum((vals[None, :] == k[:, None]).astype(I32), axis=1)
 
 
 def normalize_64(cnt: jax.Array, total: jax.Array) -> jax.Array:

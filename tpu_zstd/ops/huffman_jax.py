@@ -52,13 +52,15 @@ def _floor_log2(v: jax.Array) -> jax.Array:
 
 
 def literal_histogram(lits: jax.Array, nlit: jax.Array) -> jax.Array:
-    """(256,) counts of lits[:nlit] — sort + searchsorted, no scatter."""
+    """(256,) counts of lits[:nlit] — broadcast compare-reduce.
+
+    The (256, N) compare fuses into the reduction (no scatter, no sort);
+    on v5e this is ~30x the sort+searchsorted rate at N=128K."""
     N = lits.shape[0]
     pos = jnp.arange(N, dtype=I32)
     vals = jnp.where(pos < nlit, lits.astype(I32), 256)
-    sv = jnp.sort(vals)
-    edges = jnp.searchsorted(sv, jnp.arange(257, dtype=I32), method="scan_unrolled")
-    return (edges[1:] - edges[:-1]).astype(I32)
+    k = jnp.arange(256, dtype=I32)
+    return jnp.sum((vals[None, :] == k[:, None]).astype(I32), axis=1)
 
 
 def build_lengths(cnt: jax.Array, nlit: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -280,18 +282,19 @@ def encode_literals_4stream(
     payload_len, ok). Streams encode their symbols in reverse position order
     (decoders read forward). Requires nlit >= 16 (callers gate on that).
 
-    The deposit scatter is the dominant cost (~130M elem/s on v5e), so fields
-    are HALVED before depositing: each stream is aligned to position 0 with a
-    static-roll shift (streams are contiguous slices of the reversed literal
-    order), and adjacent same-stream symbols merge into one field (two <=11-bit
-    codes always fit 32 bits). Code+length ride one packed 16-bit LUT value.
+    Each stream is aligned to position 0 with a static-roll shift (streams are
+    contiguous slices of the reversed literal order), adjacent same-stream
+    symbols merge into one field (two <=11-bit codes always fit 32 bits), and
+    each stream's fields pack via `deposit_bits_tree` (pure VPU pairwise
+    concatenation; ~30x the sort-deposit rate on v5e). The four packed streams
+    then compose at their byte bases with `shift_words`. Code+length ride one
+    packed 16-bit LUT value.
     """
-    from .bitpack import deposit_bits_at_sorted, dynroll, words_to_bytes
+    from .bitpack import deposit_bits_tree, dynroll, shift_words, words_to_bytes
 
     N = lits.shape[0]
     seg = (nlit + 3) // 4
-    P = N // 4 + 4   # static per-stream symbol capacity (pair-aligned)
-    assert P % 2 == 0
+    P = N // 4       # static per-stream symbol capacity (pow2 pair count)
 
     packed_tbl = (lengths << 12) | codes
     pk = _lut256(packed_tbl, lits.astype(I32))
@@ -301,7 +304,7 @@ def encode_literals_4stream(
     ends = jnp.stack([seg, seg * 2, seg * 3, nlit])
 
     j = jnp.arange(P, dtype=I32)
-    v2s, l2s, off2s, sbits = [], [], [], []
+    v2s, l2s = [], []
     for s in range(4):
         # Stream s reversed symbols start at flip-index N - ends[s]:
         # dynroll right by ends[s] puts them at 0 (mod N when nlit == N).
@@ -311,27 +314,30 @@ def encode_literals_4stream(
         c_s = jnp.where(j < n_s, pks & 0xFFF, 0)
         c0, c1 = c_s[0::2], c_s[1::2]
         l0, l1 = l_s[0::2], l_s[1::2]
-        v2 = (c0 | (c1 << l0)).astype(U32)  # <= 22 bits
-        l2 = l0 + l1
-        off2 = jnp.cumsum(l2) - l2
-        v2s.append(v2)
-        l2s.append(l2)
-        off2s.append(off2)
-        sbits.append(off2[-1] + l2[-1])
-
-    stream_bits = jnp.stack(sbits)                 # (4,) data bits per stream
-    stream_bytes = (stream_bits + 1 + 7) >> 3      # + sentinel bit
-    byte_base = jnp.cumsum(stream_bytes) - stream_bytes
-    bit_base = byte_base * 8
-
-    all_vals = jnp.concatenate(v2s + [jnp.ones(4, U32)])
-    all_lens = jnp.concatenate(l2s + [jnp.ones(4, I32)])
-    all_offs = jnp.concatenate(
-        [off2s[s] + bit_base[s] for s in range(4)] + [bit_base + stream_bits]
-    )
+        v2s.append((c0 | (c1 << l0)).astype(U32))  # <= 22 bits
+        l2s.append(l0 + l1)
 
     num_words = out_cap // 4
-    words = deposit_bits_at_sorted(all_vals, all_lens, all_offs, num_words)
+    NW_S = (P * MAX_BITS) // 32 + 2  # per-stream word capacity
+    sw4, sb4 = jax.vmap(
+        lambda v, l: deposit_bits_tree(v, l, NW_S, max_field_bits=2 * MAX_BITS)
+    )(jnp.stack(v2s), jnp.stack(l2s))
+
+    stream_bits = sb4                              # (4,) data bits per stream
+    stream_bytes = (stream_bits + 1 + 7) >> 3      # + sentinel bit
+    byte_base = jnp.cumsum(stream_bytes) - stream_bytes
+
+    # Sentinel bit at each stream's data end (elementwise one-hot, no scatter).
+    jw = jnp.arange(NW_S, dtype=I32)
+    sent = jnp.where(
+        jw[None, :] == (stream_bits >> 5)[:, None],
+        (U32(1) << (stream_bits & 31).astype(U32)[:, None]),
+        U32(0),
+    )
+    words = jnp.sum(
+        jax.vmap(lambda w, b: shift_words(w, b * 8, num_words))(sw4 + sent, byte_base),
+        axis=0,
+    )
 
     jump = jnp.stack(
         [
