@@ -119,21 +119,67 @@ def decode_sequences_device(
     st_of, bits_left = _read_bits(words, bits_left, tl[:, 1])
     st_ml, bits_left = _read_bits(words, bits_left, tl[:, 2])
 
+    # Pack (symbol, nb_bits, new_state) into one word per table entry: the
+    # three per-stream lookups in the loop body hit the SAME state index, so
+    # one gather replaces three (symbol <= 52: 6b, nb <= 9: 4b, state < 512).
+    packed_tab = (
+        jnp.clip(tables.symbol, 0, 63)
+        | (jnp.clip(tables.nb_bits, 0, 15) << 6)
+        | (tables.new_state << 10)
+    )
+
     def tab(field, stream_idx, state):
         return field[rows, stream_idx, jnp.clip(state, 0, TSIZE_MAX - 1)]
+
+    SW = words.shape[1]
+    WIN = 5
+
+    def _fetch_window(bits_left):
+        """One 5-word slice per row covering every read of one loop step
+        (<= 89 bits consumed per step; the window always spans >= 97)."""
+        top_w = jnp.clip((bits_left - 1) >> 5, 0, SW - 1)
+        base_w = jnp.clip(top_w - 3, 0, max(SW - WIN, 0))
+        idx = base_w[:, None] + jnp.arange(WIN, dtype=I32)[None, :]
+        win = jnp.take_along_axis(words, jnp.minimum(idx, SW - 1), axis=1)
+        return win, base_w * 32
+
+    def _read_local(win, base_bit, bits_left, n):
+        nl = bits_left - n
+        rel = jnp.maximum(nl - base_bit, 0)
+        r = jnp.clip(rel >> 5, 0, WIN - 2)
+        sh = (rel & 31).astype(U32)
+        w0 = jnp.zeros_like(bits_left).astype(U32)
+        w1 = jnp.zeros_like(bits_left).astype(U32)
+        for k in range(WIN - 1):
+            w0 = jnp.where(r == k, win[:, k], w0)
+            w1 = jnp.where(r == k, win[:, k + 1], w1)
+        v = (w0 >> sh) | ((w1 << U32(1)) << (U32(31) - sh))
+        mask = jnp.where(
+            n >= 32, U32(0xFFFFFFFF), (U32(1) << jnp.minimum(n, 31).astype(U32)) - U32(1)
+        )
+        return (v & mask).astype(I32), nl
+
+    def _read_local_wide(win, base_bit, bits_left, n):
+        n1 = jnp.maximum(n - 16, 0)
+        hi, bits_left = _read_local(win, base_bit, bits_left, n1)
+        n2 = jnp.minimum(n, 16)
+        lo, bits_left = _read_local(win, base_bit, bits_left, n2)
+        return (hi << jnp.minimum(n, 16)) | lo, bits_left
 
     def body(carry, t):
         (bits_left, st_ll, st_of, st_ml, rep) = carry
         active = t < nseq
-        ofc = tab(tables.symbol, 1, st_of)
-        mlc = tab(tables.symbol, 2, st_ml)
-        llc = tab(tables.symbol, 0, st_ll)
+        p_of = tab(packed_tab, 1, st_of)
+        p_ml = tab(packed_tab, 2, st_ml)
+        p_ll = tab(packed_tab, 0, st_ll)
+        ofc, llc, mlc = p_of & 63, p_ll & 63, p_ml & 63
+        win, base_bit = _fetch_window(bits_left)
         # OF extra (wide), then ML extra, then LL extra.
-        ofx, bl = _read_wide(words, bits_left, jnp.where(active, ofc, 0))
+        ofx, bl = _read_local_wide(win, base_bit, bits_left, jnp.where(active, ofc, 0))
         ofv = jnp.where(ofc > 0, (1 << jnp.minimum(ofc, 30)) + ofx, 1)
-        mlx, bl = _read_bits(words, bl, jnp.where(active, ml_bits[jnp.clip(mlc, 0, 52)], 0))
+        mlx, bl = _read_local(win, base_bit, bl, jnp.where(active, ml_bits[jnp.clip(mlc, 0, 52)], 0))
         ml = ml_base[jnp.clip(mlc, 0, 52)] + mlx
-        llx, bl = _read_bits(words, bl, jnp.where(active, ll_bits[jnp.clip(llc, 0, 35)], 0))
+        llx, bl = _read_local(win, base_bit, bl, jnp.where(active, ll_bits[jnp.clip(llc, 0, 35)], 0))
         ll = ll_base[jnp.clip(llc, 0, 35)] + llx
         # Repcode resolution (mirrors format/sequences.py resolve_offset):
         #   ofv>3 -> off=ofv-3, rep'=[off,r0,r1]
@@ -153,15 +199,12 @@ def decode_sequences_device(
         rep = jnp.where(active[:, None], rep_new, rep)
         # State updates (LL, ML, OF order) — skipped for the final sequence.
         upd = active & (t < nseq - 1)
-        nb = jnp.where(upd, tab(tables.nb_bits, 0, st_ll), 0)
-        v, bl = _read_bits(words, bl, nb)
-        st_ll = jnp.where(upd, tab(tables.new_state, 0, st_ll) + v, st_ll)
-        nb = jnp.where(upd, tab(tables.nb_bits, 2, st_ml), 0)
-        v, bl = _read_bits(words, bl, nb)
-        st_ml = jnp.where(upd, tab(tables.new_state, 2, st_ml) + v, st_ml)
-        nb = jnp.where(upd, tab(tables.nb_bits, 1, st_of), 0)
-        v, bl = _read_bits(words, bl, nb)
-        st_of = jnp.where(upd, tab(tables.new_state, 1, st_of) + v, st_of)
+        v, bl = _read_local(win, base_bit, bl, jnp.where(upd, (p_ll >> 6) & 15, 0))
+        st_ll = jnp.where(upd, (p_ll >> 10) + v, st_ll)
+        v, bl = _read_local(win, base_bit, bl, jnp.where(upd, (p_ml >> 6) & 15, 0))
+        st_ml = jnp.where(upd, (p_ml >> 10) + v, st_ml)
+        v, bl = _read_local(win, base_bit, bl, jnp.where(upd, (p_of >> 6) & 15, 0))
+        st_of = jnp.where(upd, (p_of >> 10) + v, st_of)
         bits_left = jnp.where(active, bl, bits_left)
         ys = (
             jnp.where(active, ll, 0),
@@ -172,7 +215,7 @@ def decode_sequences_device(
 
     init = (bits_left, st_ll, st_of, st_ml, rep_init)
     bmax = jnp.max(nseq)
-    buckets = [b for b in (1024, 4096, 16384) if b < max_seqs] + [max_seqs]
+    buckets = [b for b in (1024, 4096, 16384, 24576, 32768) if b < max_seqs] + [max_seqs]
     bidx = jnp.int32(0)
     for b in buckets[:-1]:
         bidx = bidx + (bmax > b).astype(jnp.int32)
@@ -254,10 +297,26 @@ def execute_sequences_device(
     match_before = jnp.cumsum(in_match.astype(I32), axis=1) - in_match.astype(I32)
     lit_idx = pos[None, :] - match_before
 
+    # Match start per position (for the periodic-overlap shortcut below).
+    mstart_of_run = jnp.zeros((B, MS + 1), I32)
+    mstart_of_run = mstart_of_run.at[rows, sidx].set(
+        jnp.where(valid, match_start, 0), mode="drop"
+    )
+    ms_at = jnp.take_along_axis(mstart_of_run, jnp.clip(run_id, 0, MS), axis=1)
+
     # Source map: literal positions (including tail literals after the last
     # sequence) -> -(lit_idx+1); match at j -> window-inclusive (W + j) - off.
+    # Self-overlapping matches (ml > off — the RLE-like deep-chain case) are
+    # PERIODIC: every position's chain inside the same match lands at
+    # ms - off + (j - ms) % off, so take that in ONE hop instead of ml/off
+    # pointer-doubling rounds (the reference's sequential executor never sees
+    # this problem; a parallel one lives or dies by it).
+    hop = pos[None, :] - off_at
+    periodic = in_match & (hop >= ms_at)
+    safe_off = jnp.maximum(off_at, 1)
+    hop = jnp.where(periodic, ms_at - safe_off + (pos[None, :] - ms_at) % safe_off, hop)
     L = lits.shape[1]
-    src = jnp.where(in_match, W + pos[None, :] - off_at, -lit_idx - 1)
+    src = jnp.where(in_match, W + hop, -lit_idx - 1)
     # Window references resolve immediately: encode window byte w in [0, W)
     # as -(L + w) - 1 so the final gather splits the two terminal spaces.
     src = jnp.where(
