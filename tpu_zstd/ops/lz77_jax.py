@@ -127,9 +127,13 @@ def find_matches(
     # Clamp to block end (also cancels false matches into rolled-around words).
     best_ml = jnp.minimum(best_ml, jnp.maximum(n - sp, 0))
 
-    # Return to position order by sorting on position.
-    _, oml, ooff = jax.lax.sort((sp, best_ml, best_off), num_keys=1, is_stable=True)
-    return oml, ooff
+    # Return to position order by sorting on position. (ml, off) ride as ONE
+    # packed operand — sort cost grows ~linearly with operand count on v5e
+    # (tools/sort_micro.py), and ml <= cap <= 63 / off < N <= 2^20 both fit.
+    assert cap <= 63
+    packed = (best_ml << 20) | best_off
+    _, opk = jax.lax.sort((sp, packed), num_keys=1, is_stable=True)
+    return opk >> 20, opk & ((1 << 20) - 1)
 
 
 def greedy_parse(
@@ -227,9 +231,15 @@ def parse_block(
     # of N rows replaces the previous two).
     nlit = jnp.sum(is_lit.astype(I32))
     sel_key = jnp.where(is_seq, pos, jnp.where(is_lit, N + pos, 2 * N + pos))
-    _, e_pos, e_ml, e_off, e_byte = jax.lax.sort(
-        (sel_key, pos, ml_t, boff, block.astype(I32)), num_keys=1, is_stable=True
-    )
+    # Payloads packed into two operands (pos<<8|byte, ml<<20|off) — see the
+    # pos-restore sort above for the rationale.
+    pk_pb = (pos << 8) | block.astype(I32)
+    pk_mo = (ml_t << 20) | boff
+    _, e_pb, e_mo = jax.lax.sort((sel_key, pk_pb, pk_mo), num_keys=1, is_stable=True)
+    e_pos = e_pb >> 8
+    e_byte = e_pb & 0xFF
+    e_ml = e_mo >> 20
+    e_off = e_mo & ((1 << 20) - 1)
     from .bitpack import dynroll_left
 
     nseq_pre = jnp.sum(is_seq.astype(I32))
