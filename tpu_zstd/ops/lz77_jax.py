@@ -258,26 +258,33 @@ def parse_block(
     lls = jnp.where(valid, starts - prev_end, 0)
 
     # Merge contiguous same-offset sequences (recovers matches beyond `cap`
-    # and across segment boundaries).
+    # and across segment boundaries). Valid rows partition into contiguous
+    # head..cont runs, so each merged length is a difference of the exclusive
+    # match-length prefix sum at consecutive heads — the prefix rides the
+    # head-compaction sort and is differenced against the next row (no
+    # segment_sum scatter, no O(N)-slow XLA cumsum — see ops/scanops.py).
+    from .scanops import cumsum_i32
+
     prev_off = jnp.roll(offs, 1).at[0].set(0)
     cont = valid & (k > 0) & (lls == 0) & (offs == prev_off) & (offs > 0)
     head = valid & ~cont
     nseq2 = jnp.sum(head.astype(I32))
-    seg_id = jnp.cumsum(head.astype(I32)) - 1
-    seg_ml = jax.ops.segment_sum(
-        jnp.where(valid, mls, 0), jnp.where(valid, seg_id, max_seqs - 1),
-        num_segments=max_seqs,
-    )
+    mls_v = jnp.where(valid, mls, 0)
+    exc_ml = cumsum_i32(mls_v) - mls_v
+    total_ml = exc_ml[-1] + mls_v[-1]
     mkey = jnp.where(head, k, max_seqs)
-    _, m_ll, m_off, m_start = jax.lax.sort(
-        (mkey, lls, offs, starts), num_keys=1, is_stable=True
+    _, m_ll, m_off, m_start, m_exc = jax.lax.sort(
+        (mkey, lls, offs, starts, exc_ml), num_keys=1, is_stable=True
     )
     k2 = jnp.arange(max_seqs, dtype=I32)
     valid2 = k2 < nseq2
+    next_exc = jnp.where(
+        k2 == nseq2 - 1, total_ml, jnp.roll(m_exc, -1).at[-1].set(0)
+    )
     ll2 = jnp.where(valid2, m_ll, 0)
     off2 = jnp.where(valid2, m_off, 0)
     starts2 = jnp.where(valid2, m_start, 0)
-    ml2 = jnp.where(valid2, seg_ml, 0)  # segment sums are already head-ordered
+    ml2 = jnp.where(valid2, next_exc - m_exc, 0)
 
     # Offset-base values: rep0 when the offset repeats with literals in
     # between. The FIRST sequence of a block never uses a repcode: rep history

@@ -54,7 +54,13 @@ class PipelineConfig:
     def seq_cap(self) -> int:
         # worst case ~34 bits/sequence (17 state + <=17 offset extra) + room
         # for the section header incl. three NCount table descriptions.
-        return (self.max_seqs * 40) // 8 + 1024
+        return self.seq_cap_for(self.max_seqs)
+
+    def seq_cap_for(self, msb: int) -> int:
+        """Sequence-section byte capacity for an nseq bucket of msb entries
+        (same 40-bit/sequence bound as seq_cap; smaller buckets keep the
+        select-based section assembly proportionally narrow)."""
+        return (msb * 40) // 8 + 1024
 
 
 DEFAULT_CONFIG = PipelineConfig()
@@ -294,16 +300,17 @@ def _parse_prep_stage(blocks: jax.Array, lengths: jax.Array, cfg: PipelineConfig
 
 @functools.partial(jax.jit, static_argnums=(4, 5))
 def _encode_stage(blocks, lengths, seqs, prep, cfg: PipelineConfig, msb: int):
+    cap = cfg.seq_cap_for(msb)
     if cfg.custom_fse:
         from .fse_jax import encode_prepared
 
         seq_bytes, seq_len = jax.vmap(
-            lambda p, n: encode_prepared(p, n, msb, cfg.seq_cap)
+            lambda p, n: encode_prepared(p, n, msb, cap)
         )(prep, seqs.nseq)
     else:
         seq_bytes, seq_len = jax.vmap(
             lambda x, y, z, w: encode_sequences_predefined(
-                x[:msb], y[:msb], z[:msb], w, msb, cfg.seq_cap
+                x[:msb], y[:msb], z[:msb], w, msb, cap
             )
         )(seqs.ll, seqs.ml, seqs.ob, seqs.nseq)
     return jax.vmap(

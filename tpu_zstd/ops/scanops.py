@@ -1,0 +1,45 @@
+"""MXU-blocked exact prefix sums.
+
+XLA lowers `jnp.cumsum` over long axes to a reduce-window custom fusion that
+runs at ~0.1 GB/s on v5e (measured via trace: 9 ms for a (64, 32768) int32
+cumsum). This module reformulates long cumsums as 128-wide triangular matmuls
+(f32 on the MXU, exact for values below 2^24) plus a short carry cumsum —
+the same trick the reference's prefix scans get from CUB device primitives
+(reference src/cuda_zstd_utils.cu:50 `parallel_scan`), mapped to the MXU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+I32 = jnp.int32
+F32 = jnp.float32
+
+_BLK = 128
+# M[i, j] = 1 for i <= j: row-vector @ M gives inclusive prefix sums.
+_TRI = np.triu(np.ones((_BLK, _BLK), dtype=np.float32))
+
+
+def cumsum_i32(x: jax.Array) -> jax.Array:
+    """Inclusive prefix sum along the last axis (int32 in/out).
+
+    Exact for |running sums| < 2^24 (f32 integer range) — callers in this
+    package sum counts/lengths bounded by the 128 KB block size. Last axis
+    must be a multiple of 128 for the fast path; other sizes fall back to
+    jnp.cumsum.
+    """
+    L = x.shape[-1]
+    if L % _BLK != 0 or L < 2 * _BLK:
+        return jnp.cumsum(x, axis=-1)
+    lead = x.shape[:-1]
+    xf = x.astype(F32).reshape(*lead, L // _BLK, _BLK)
+    blk = jnp.matmul(xf, jnp.asarray(_TRI), precision=jax.lax.Precision.HIGHEST)
+    sums = blk[..., -1]                       # (..., L/128) block totals
+    if L // _BLK >= 2 * _BLK:                 # recurse on long carry chains
+        inc = cumsum_i32(sums.astype(I32)).astype(F32)
+    else:
+        inc = jnp.cumsum(sums, axis=-1)
+    carry = inc - sums                        # exclusive carry per block
+    return (blk + carry[..., None]).reshape(*lead, L).astype(I32)
