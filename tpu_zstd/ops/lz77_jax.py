@@ -99,20 +99,36 @@ def find_matches(
     nwords = cap // 4
     pos = jnp.arange(N, dtype=I32)
     w, h = _hash_words(block, hash_log)
-    big = jnp.iinfo(jnp.int32).max
-    key = jnp.where((pos < n - 3) & (pos >= win_start), h, big)
+    live = (pos < n - 3) & (pos >= win_start)
+    words = [jnp.roll(w, -4 * k).astype(I32) for k in range(nwords)]
 
-    ops = [key, pos] + [jnp.roll(w, -4 * k).astype(I32) for k in range(nwords)]
-    sorted_ops = jax.lax.sort(tuple(ops), num_keys=1, is_stable=True)
-    sk, sp = sorted_ops[0], sorted_ops[1]
-    sw = sorted_ops[2:]
+    # Sort positions by (hash, pos). Both orderings are total, so the sort can
+    # be UNSTABLE (a stable XLA sort appends a hidden iota tiebreak operand).
+    # When hash+pos fit u32 they ride one packed key; dead rows get a
+    # sentinel hash of 2^hash_log, keeping their pos order (the position-
+    # restore sort then maps row r -> position r for every row). Dead rows may
+    # still pair as chain candidates — the n-sp clamp below caps any such
+    # match under min_match.
+    plog = max(1, (N - 1).bit_length())
+    if hash_log + 1 + plog <= 32:
+        key = ((jnp.where(live, h, 1 << hash_log).astype(U32)) << plog) | pos.astype(U32)
+        sorted_ops = jax.lax.sort(tuple([key] + words), num_keys=1, is_stable=False)
+        sk = (sorted_ops[0] >> plog).astype(I32)
+        sp = (sorted_ops[0] & ((1 << plog) - 1)).astype(I32)
+    else:
+        key = jnp.where(live, h, 1 << hash_log)
+        sorted_ops = jax.lax.sort(
+            tuple([key, pos] + words), num_keys=2, is_stable=False
+        )
+        sk, sp = sorted_ops[0], sorted_ops[1]
+    sw = sorted_ops[-nwords:]
 
     best_ml = jnp.zeros(N, dtype=I32)
     best_off = jnp.zeros(N, dtype=I32)
     for d in range(1, depth + 1):
-        pk = jnp.roll(sk, d).at[:d].set(big - 1)
+        pk = jnp.roll(sk, d).at[:d].set(-1)
         pp = jnp.roll(sp, d).at[:d].set(0)
-        same = (pk == sk) & (sk != big)
+        same = pk == sk
         ml = jnp.zeros(N, dtype=I32)
         alive = same
         for k in range(nwords):
@@ -130,9 +146,9 @@ def find_matches(
     # Return to position order by sorting on position. (ml, off) ride as ONE
     # packed operand — sort cost grows ~linearly with operand count on v5e
     # (tools/sort_micro.py), and ml <= cap <= 63 / off < N <= 2^20 both fit.
-    assert cap <= 63
+    assert cap < (1 << 11)  # ml field: 11 bits above the 20-bit offset
     packed = (best_ml << 20) | best_off
-    _, opk = jax.lax.sort((sp, packed), num_keys=1, is_stable=True)
+    _, opk = jax.lax.sort((sp, packed), num_keys=1, is_stable=False)
     return opk >> 20, opk & ((1 << 20) - 1)
 
 
@@ -235,7 +251,7 @@ def parse_block(
     # pos-restore sort above for the rationale.
     pk_pb = (pos << 8) | block.astype(I32)
     pk_mo = (ml_t << 20) | boff
-    _, e_pb, e_mo = jax.lax.sort((sel_key, pk_pb, pk_mo), num_keys=1, is_stable=True)
+    _, e_pb, e_mo = jax.lax.sort((sel_key, pk_pb, pk_mo), num_keys=1, is_stable=False)
     e_pos = e_pb >> 8
     e_byte = e_pb & 0xFF
     e_ml = e_mo >> 20
@@ -273,8 +289,10 @@ def parse_block(
     exc_ml = cumsum_i32(mls_v) - mls_v
     total_ml = exc_ml[-1] + mls_v[-1]
     mkey = jnp.where(head, k, max_seqs)
+    # mkey is unique only on head rows; non-heads share max_seqs, but all
+    # their payloads are discarded (valid2 masks them), so unstable is safe.
     _, m_ll, m_off, m_start, m_exc = jax.lax.sort(
-        (mkey, lls, offs, starts, exc_ml), num_keys=1, is_stable=True
+        (mkey, lls, offs, starts, exc_ml), num_keys=1, is_stable=False
     )
     k2 = jnp.arange(max_seqs, dtype=I32)
     valid2 = k2 < nseq2
