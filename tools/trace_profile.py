@@ -43,7 +43,7 @@ _reduce = jax.jit(
 
 # Warm up (compile) outside the trace.
 seqs, prep, bmax_dev = _parse_prep_stage(blocks, lengths, cfg)
-bmax = int(jax.device_get(bmax_dev))
+bmax = int(jax.device_get(bmax_dev).max())
 msb = _pick_bucket(bmax, cfg.max_seqs)
 out = _encode_stage(blocks, lengths, seqs, prep, cfg, msb)
 jax.device_get(_reduce(out))

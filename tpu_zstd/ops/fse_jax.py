@@ -87,6 +87,10 @@ class EncTables:
         self.next2d = nxt.astype(np.int32)       # (nsym, ts)
         self.nb2d = nb.astype(np.int32)          # (nsym, ts)
         self.init_state = init.astype(np.int32)  # (nsym,)
+        # Closed-form params (see fse_tables_jax.build_cf_tables).
+        self.dnb = dnb.astype(np.int32)                        # (nsym,)
+        self.dfs = dfs.astype(np.int32)                        # (nsym,)
+        self.state_table = ct.state_table.astype(np.int32)     # (ts,) in [ts, 2ts)
 
 
 _PREDEF_ENC = (
@@ -235,80 +239,123 @@ def _state_chain(tables: EncTables, rsym: jax.Array, nseq: jax.Array, max_seqs: 
     )
 
 
-def _state_chain3(
-    next3: jax.Array, init3: jax.Array, rsym3: jax.Array, nseq: jax.Array, max_seqs: int
+def _state_chain3_cf(
+    st3: jax.Array,
+    dnb3: jax.Array,
+    dfs3: jax.Array,
+    init3: jax.Array,
+    tl3: jax.Array,
+    rle3: jax.Array,
+    rsym3: jax.Array,
+    nseq: jax.Array,
+    max_seqs: int,
 ):
-    """All three FSE streams (LL/OF/ML) through ONE set of scans.
+    """Closed-form triple state chain: LL/OF/ML through one set of scans.
 
-    Fusing the streams cuts the sequential scan-step count 3x (per-step work is
-    tiny on TPU; step overhead dominates). next3: (3, S, ts) tables padded to a
-    common alphabet S; init3: (3, S); rsym3: (3, max_seqs).
+    Replaces the dense (nsym, ts) transition/nb tables of _state_chain3 with
+    the libzstd symbolTT closed forms (fse_tables_jax.build_cf_tables):
 
-    Returns (pre (3, max_seqs), fin (3,)).
+        value  = ts + state
+        nb     = (value + dnb[sym]) >> 16          (pure arithmetic)
+        state' = st[(value >> nb) + dfs[sym]] - ts (ONE shared ts-entry table)
+
+    so the only table contraction per step is a TS-wide one-hot against st3,
+    and the per-step bit counts fall out of Phase C for free (no separate
+    nb-table lookup afterwards).
+
+    st3: (K, TS) state tables (values in [ts, 2ts)); dnb3/dfs3/init3: (K, S);
+    tl3: (K,) table logs; rle3: (K,) bool RLE-stream mask (forced to state 0 /
+    nb 0); rsym3: (K, max_seqs) symbols in encoder order.
+
+    Returns (pre (K, max_seqs), fin (K,), nb (K, max_seqs)) where nb[., t] is
+    the state-bit count of the transition consuming rsym[., t] (valid for
+    1 <= t < nseq; garbage elsewhere — callers mask).
     """
-    K = next3.shape[0]
-    S = next3.shape[1]
-    ts = next3.shape[2]
+    K, S = dnb3.shape
+    TS_ = st3.shape[1]
     nc = max_seqs // CHUNK
-    n3f = next3.astype(F32)
+    ts3 = (1 << tl3).astype(I32)  # (K,)
 
-    oh0 = (rsym3[:, 0][:, None] == jnp.arange(S, dtype=I32)).astype(F32)
-    init = jnp.sum(oh0 * init3.astype(F32), axis=1).astype(I32)  # (K,)
+    # st3 packed 4 byte-entries per i32 word: a TS-wide lookup becomes a
+    # 1-of-(TS/4) word select + byte shift (~4x less VPU work than a TS-wide
+    # one-hot contraction; entries are < 128 so bytes never carry a sign).
+    NWRD = TS_ // 4
+    st_pack = sum(
+        (st3[:, b::4] << (8 * b)) for b in range(4)
+    )  # (K, NWRD) i32; word j holds entries 4j..4j+3
 
-    st_sym = jnp.roll(rsym3, -1, axis=1).reshape(K, nc, CHUNK)
+    # Init state from the first symbol (f32: init values < TS, exact).
+    oh0 = (rsym3[:, 0][:, None] == jnp.arange(S, dtype=I32)).astype(jnp.float32)
+    init = jnp.sum(oh0 * init3.astype(jnp.float32), axis=1).astype(I32)  # (K,)
+    init = jnp.where(rle3, 0, init)
+
+    # Per-step symbol params for ALL steps in two small f32 contractions
+    # (dnb < 2^19 exceeds bf16's 8-bit mantissa; f32 is exact to 2^24).
+    st_sym = jnp.roll(rsym3, -1, axis=1)  # step s consumes rsym[s+1]
+    ohs = (st_sym[..., None] == jnp.arange(S, dtype=I32)).astype(jnp.float32)
+    dnb_steps = jnp.einsum("kms,ks->km", ohs, dnb3.astype(jnp.float32)).astype(I32)
+    dfs_steps = jnp.einsum("kms,ks->km", ohs, dfs3.astype(jnp.float32)).astype(I32)
+
     t_idx = jnp.arange(max_seqs, dtype=I32).reshape(nc, CHUNK)
-    # nseq may be a scalar (all streams share a count) or (K,) per-stream.
     nseq_k = jnp.broadcast_to(jnp.asarray(nseq, I32).reshape(-1), (K,))
-    st_valid = (t_idx + 1)[None, :, :] < nseq_k[:, None, None]  # (K, nc, CHUNK)
+    valid = ((t_idx + 1)[None] < nseq_k[:, None, None]) & ~rle3[:, None, None]
 
-    def rows_of(sym):  # (K, nc) -> (K, nc, ts)
-        oh = (sym[..., None] == jnp.arange(S, dtype=I32)).astype(F32)
-        return jnp.einsum("snk,skt->snt", oh, n3f)
+    def xs_of(a):  # (K, max_seqs) -> (CHUNK, K, nc)
+        return a.reshape(K, nc, CHUNK).transpose(2, 0, 1)
 
-    # Phase A: per-chunk composed transition over all ts entry states.
-    def stepA(states, inp):  # states (K, nc, ts) = f_chunk(entry_state)
-        sym, valid = inp
-        rows = rows_of(sym)
-        oh = (states[..., None] == jnp.arange(ts, dtype=I32)).astype(F32)
-        nxt = jnp.sum(rows[:, :, None, :] * oh, axis=-1).astype(I32)
-        return jnp.where(valid[:, :, None], nxt, states), None
+    xs = (xs_of(dnb_steps), xs_of(dfs_steps), valid.transpose(2, 0, 1))
 
-    all0 = jnp.broadcast_to(jnp.arange(ts, dtype=I32)[None, None, :], (K, nc, ts))
-    chunk_fn, _ = jax.lax.scan(
-        stepA, all0, (st_sym.transpose(2, 0, 1), st_valid.transpose(2, 0, 1))
-    )
+    def trans(states, dnb_, dfs_, ts_b, nd):
+        """One closed-form transition; states/dnb_/dfs_ broadcastable, ts_b =
+        ts3 reshaped to match, nd = extra dims after K. Returns (next, nb)."""
+        value = ts_b + states
+        nb = (value + dnb_) >> 16
+        idx = jnp.clip((value >> jnp.clip(nb, 0, 31)) + dfs_, 0, TS_ - 1)
+        w = idx >> 2
+        acc = jnp.zeros_like(idx)
+        for j in range(NWRD):
+            wj = st_pack[:, j].reshape((K,) + (1,) * nd)
+            acc = acc + jnp.where(w == j, wj, 0)
+        nxt = ((acc >> ((idx & 3) << 3)) & 0xFF) - ts_b
+        return nxt, nb
 
-    # Phase B: log-depth prefix composition of the chunk transition functions
-    # (function tables compose by lookup: (g after f)[e] = g[f[e]]), then read
-    # each chunk's entry state off the exclusive prefix at `init`. Replaces an
-    # nc-step sequential scan with ~log2(nc) batched one-hot contractions.
-    def compose(a, b):  # a then b, both (..., ts) function tables
-        oh = (a[..., None] == jnp.arange(ts, dtype=I32)).astype(F32)
+    # Phase A: per-chunk composed transition over all TS_ entry states.
+    def stepA(states, inp):  # states (K, nc, TS_)
+        dnb_, dfs_, v = inp  # (K, nc) each
+        nxt, _ = trans(states, dnb_[..., None], dfs_[..., None], ts3[:, None, None], 2)
+        return jnp.where(v[..., None], nxt, states), None
+
+    all0 = jnp.broadcast_to(jnp.arange(TS_, dtype=I32)[None, None, :], (K, nc, TS_))
+    chunk_fn, _ = jax.lax.scan(stepA, all0, xs)
+
+    # Phase B: log-depth prefix composition of the chunk transition functions,
+    # then read each chunk's entry state off the exclusive prefix at `init`.
+    def compose(a, b):  # a then b, both (..., TS_) function tables
+        oh = (jnp.clip(a, 0, TS_ - 1)[..., None] == jnp.arange(TS_, dtype=I32)).astype(F32)
         return jnp.sum(oh * b[..., None, :].astype(F32), axis=-1).astype(I32)
 
     prefix = jax.lax.associative_scan(compose, chunk_fn, axis=1)  # inclusive
-    ident = jnp.broadcast_to(jnp.arange(ts, dtype=I32)[None, None, :], (K, 1, ts))
-    exc = jnp.concatenate([ident, prefix[:, :-1]], axis=1)  # (K, nc, ts)
-    oh_init = (init[:, None, None] == jnp.arange(ts, dtype=I32)).astype(F32)
+    ident = jnp.broadcast_to(jnp.arange(TS_, dtype=I32)[None, None, :], (K, 1, TS_))
+    exc = jnp.concatenate([ident, prefix[:, :-1]], axis=1)  # (K, nc, TS_)
+    oh_init = (init[:, None, None] == jnp.arange(TS_, dtype=I32)).astype(F32)
     entries = jnp.sum(exc.astype(F32) * oh_init, axis=-1).astype(I32)  # (K, nc)
-    oh_last = (init[:, None] == jnp.arange(ts, dtype=I32)).astype(F32)
+    oh_last = (init[:, None] == jnp.arange(TS_, dtype=I32)).astype(F32)
     fin = jnp.sum(prefix[:, -1].astype(F32) * oh_last, axis=-1).astype(I32)  # (K,)
+    fin = jnp.where(rle3, 0, fin)
 
-    # Phase C: re-walk each chunk, recording pre-transition states.
+    # Phase C: re-walk each chunk from its entry state, recording the
+    # pre-transition state AND the transition's bit count.
     def stepC(states, inp):  # states (K, nc)
-        sym, valid = inp
-        rows = rows_of(sym)
-        oh = (states[..., None] == jnp.arange(ts, dtype=I32)).astype(F32)
-        nxt = jnp.sum(rows * oh, axis=-1).astype(I32)
-        return jnp.where(valid, nxt, states), states
+        dnb_, dfs_, v = inp
+        nxt, nb = trans(states, dnb_, dfs_, ts3[:, None], 1)
+        return jnp.where(v, nxt, states), (states, jnp.where(v, nb, 0))
 
-    _, pre_seq = jax.lax.scan(
-        stepC, entries, (st_sym.transpose(2, 0, 1), st_valid.transpose(2, 0, 1))
-    )
-    # pre_seq (CHUNK, 3, nc): state before step s = c*CHUNK + i.
-    pre_by_step = pre_seq.transpose(1, 2, 0).reshape(K, -1)
-    pre = jnp.roll(pre_by_step, 1, axis=1)
-    return pre, fin
+    _, (pre_seq, nb_seq) = jax.lax.scan(stepC, entries, xs)
+    # (CHUNK, K, nc): value at step s = c*CHUNK + i -> roll to t = s+1.
+    pre = jnp.roll(pre_seq.transpose(1, 2, 0).reshape(K, -1), 1, axis=1)
+    nb = jnp.roll(nb_seq.transpose(1, 2, 0).reshape(K, -1), 1, axis=1)
+    pre = jnp.where(rle3[:, None], 0, pre)
+    return pre, fin, nb
 
 
 # --- Sequence section encode ---------------------------------------------------------
@@ -471,8 +518,9 @@ def prepare_sequences_auto(
         "rsym3": jnp.stack([r_llc, r_ofc, r_mlc]),
         "r_llb": _small_lut(LL_BITS, r_llc),
         "r_mlb": _small_lut(ML_BITS, r_mlc),
-        "next3": jnp.stack([padS(t["next2d"]) for t in (t_ll, t_of, t_ml)]),
-        "nb3": jnp.stack([padS(t["nb2d"]) for t in (t_ll, t_of, t_ml)]),
+        "st3": jnp.stack([t["st"] for t in (t_ll, t_of, t_ml)]),
+        "dnb3": jnp.stack([padS(t["dnb"]) for t in (t_ll, t_of, t_ml)]),
+        "dfs3": jnp.stack([padS(t["dfs"]) for t in (t_ll, t_of, t_ml)]),
         "init3": jnp.stack([padS(t["init"]) for t in (t_ll, t_of, t_ml)]),
         "tl3": jnp.stack([t["table_log"] for t in (t_ll, t_of, t_ml)]),
         "mode3": jnp.stack([t["mode"] for t in (t_ll, t_of, t_ml)]),
@@ -492,17 +540,16 @@ def encode_prepared(
     to msb (reversed order puts all live entries in the prefix).
     """
     rsym3 = prep["rsym3"][:, :msb]
-    next3 = prep["next3"]
-    S = next3.shape[1]
 
-    pre3, fin3 = _state_chain3(next3, prep["init3"], rsym3, nseq, msb)
+    from ..constants import SEQ_RLE
+
+    rle3 = prep["mode3"] == SEQ_RLE
+    pre3, fin3, nb3_steps = _state_chain3_cf(
+        prep["st3"], prep["dnb3"], prep["dfs3"], prep["init3"],
+        prep["tl3"], rle3, rsym3, nseq, msb,
+    )
     fin_ll, fin_of, fin_ml = fin3[0], fin3[1], fin3[2]
 
-    # Per-step state bit counts/values for all three streams at once.
-    oh_sym = (rsym3[..., None] == jnp.arange(S, dtype=I32)).astype(F32)
-    rows3 = jnp.einsum("snk,skt->snt", oh_sym, prep["nb3"].astype(F32))
-    oh_pre = (pre3[..., None] == jnp.arange(next3.shape[2], dtype=I32)).astype(F32)
-    nb3_steps = jnp.sum(rows3 * oh_pre, axis=-1).astype(I32)  # (3, msb)
     ts3 = (1 << prep["tl3"]).astype(I32)
     v3 = (ts3[:, None] + pre3) & ((1 << nb3_steps.astype(U32)).astype(I32) - 1)
     nb_ll, nb_of, nb_ml = nb3_steps[0], nb3_steps[1], nb3_steps[2]

@@ -190,13 +190,20 @@ def _lut_state(state_table: jax.Array, idx: jax.Array) -> jax.Array:
     return (oh @ state_table.astype(BF)).astype(I32)
 
 
-def build_dense_tables(norm: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Dense encode tables from normalized counts (no -1s, sum TS).
+def build_cf_tables(norm: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Closed-form encode-table parameters from normalized counts.
 
-    Returns (next2d (nsym, TS), nb2d (nsym, TS), init (nsym,)) matching
-    ops/fse_jax.py:EncTables semantics (states in [0, TS)).
+    The FSE encoder transition is fully determined by two per-symbol scalars
+    and ONE shared ts-entry table (libzstd's symbolTT closed forms, mirrored
+    by format/fse.py:build_ctable):
+
+        value  = ts + state
+        nb     = (value + dnb[sym]) >> 16
+        state' = state_table[(value >> nb) + dfs[sym]] - ts
+
+    Returns (state_table (TS,) values in [TS, 2*TS), dnb (nsym,),
+    dfs (nsym,), init (nsym,) states in [0, TS)).
     """
-    nsym = norm.shape[0]
     cum = jnp.cumsum(norm)
     ranks = jnp.arange(TS, dtype=I32)
     sym_of_rank = jnp.sum((ranks[:, None] >= cum[None, :]).astype(I32), axis=1)
@@ -209,15 +216,24 @@ def build_dense_tables(norm: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array
     dnb = jnp.where(norm > 0, (mbo << 16) - (norm << mbo), ((TL + 1) << 16) - TS)
     dfs = jnp.where(norm > 0, cum_ex - norm, 0)
 
-    value = TS + ranks  # (TS,)
-    nb2d = (value[None, :] + dnb[:, None]) >> 16
-    idx2d = jnp.clip((value[None, :] >> nb2d) + dfs[:, None], 0, TS - 1)
-    next2d = _lut_state(state_table, idx2d) - TS
-
     nb0 = (dnb + (1 << 15)) >> 16
     v0 = (nb0 << 16) - dnb
     i0 = jnp.clip((v0 >> nb0) + dfs, 0, TS - 1)
     init = _lut_state(state_table, i0) - TS
+    return state_table, dnb, dfs, init
+
+
+def build_dense_tables(norm: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Dense encode tables from normalized counts (no -1s, sum TS).
+
+    Returns (next2d (nsym, TS), nb2d (nsym, TS), init (nsym,)) matching
+    ops/fse_jax.py:EncTables semantics (states in [0, TS)).
+    """
+    state_table, dnb, dfs, init = build_cf_tables(norm)
+    value = TS + jnp.arange(TS, dtype=I32)  # (TS,)
+    nb2d = (value[None, :] + dnb[:, None]) >> 16
+    idx2d = jnp.clip((value[None, :] >> nb2d) + dfs[:, None], 0, TS - 1)
+    next2d = _lut_state(state_table, idx2d) - TS
     return next2d, nb2d, init
 
 
@@ -257,6 +273,14 @@ class StreamSpec:
         self.pred_next, self.pred_nb, self.pred_init = _pad_pred(
             enc.next2d, enc.nb2d, enc.init_state, nsym
         )
+        # Closed-form predefined params padded to (nsym,) / (TS,).
+        self.pred_dnb = np.zeros(nsym, dtype=np.int32)
+        self.pred_dnb[: len(enc.dnb)] = enc.dnb
+        self.pred_dfs = np.zeros(nsym, dtype=np.int32)
+        self.pred_dfs[: len(enc.dfs)] = enc.dfs
+        ts = enc.table_size
+        self.pred_st = np.full(TS, ts, dtype=np.int32)
+        self.pred_st[:ts] = enc.state_table
         self.pred_cost_q8 = _pred_cost_q8(pred_norm, pred_log, nsym)
         self.pred_valid_mask = np.zeros(nsym, dtype=bool)
         self.pred_valid_mask[: len(pred_norm)] = np.asarray(pred_norm) != 0
@@ -287,7 +311,8 @@ def choose_stream_tables(codes: jax.Array, nvalid: jax.Array, spec: StreamSpec):
     """Pick RLE / custom-FSE / predefined for one stream and build its tables.
 
     codes: (M,) i32 (first nvalid valid). Returns a dict with
-    mode, table_log, next2d (nsym,TS), nb2d, init (nsym,),
+    mode, table_log, st (TS,), dnb (nsym,), dfs (nsym,), init (nsym,)
+    (closed-form params, see build_cf_tables),
     desc (bytes of RLE symbol or NCount header as (DESC_CAP,) u8), desc_len.
     """
     nsym = spec.nsym
@@ -305,14 +330,15 @@ def choose_stream_tables(codes: jax.Array, nvalid: jax.Array, spec: StreamSpec):
     use_rle = npresent <= 1
     use_custom = ~use_rle & ((~pred_ok) | (est_custom < est_pred))
 
-    cus_next, cus_nb, cus_init = build_dense_tables(norm)
+    cus_st, cus_dnb, cus_dfs, cus_init = build_cf_tables(norm)
 
     mode = jnp.where(use_rle, SEQ_RLE, jnp.where(use_custom, SEQ_FSE, SEQ_PREDEFINED))
     table_log = jnp.where(use_rle, 0, jnp.where(use_custom, TL, spec.pred_log))
 
     sel3 = lambda c, p: jnp.where(use_rle, jnp.zeros_like(c), jnp.where(use_custom, c, p))
-    next2d = sel3(cus_next, jnp.asarray(spec.pred_next))
-    nb2d = sel3(cus_nb, jnp.asarray(spec.pred_nb))
+    st = sel3(cus_st, jnp.asarray(spec.pred_st))
+    dnb = sel3(cus_dnb, jnp.asarray(spec.pred_dnb))
+    dfs = sel3(cus_dfs, jnp.asarray(spec.pred_dfs))
     init = sel3(cus_init, jnp.asarray(spec.pred_init))
 
     # Description bytes: RLE -> 1 byte (the symbol); custom -> NCount header.
@@ -331,8 +357,9 @@ def choose_stream_tables(codes: jax.Array, nvalid: jax.Array, spec: StreamSpec):
     return {
         "mode": mode,
         "table_log": table_log,
-        "next2d": next2d,
-        "nb2d": nb2d,
+        "st": st,
+        "dnb": dnb,
+        "dfs": dfs,
         "init": init,
         "desc": desc,
         "desc_len": desc_len,

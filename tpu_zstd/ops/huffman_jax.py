@@ -173,8 +173,8 @@ def weights_fse_payload(lengths: jax.Array) -> tuple[jax.Array, jax.Array, jax.A
     payload_len < 128).
     """
     from .bitpack import deposit_bits, dynroll, place, words_to_bytes
-    from .fse_jax import _state_chain3, pick_cols, pick_rows
-    from .fse_tables_jax import build_dense_tables, histogram_codes, ncount_fields, normalize_64
+    from .fse_jax import _state_chain3_cf
+    from .fse_tables_jax import TL, build_cf_tables, histogram_codes, ncount_fields, normalize_64
 
     NW = 256
     sym_ar = jnp.arange(NW, dtype=I32)
@@ -188,7 +188,7 @@ def weights_fse_payload(lengths: jax.Array) -> tuple[jax.Array, jax.Array, jax.A
     npres = jnp.sum((cnt > 0).astype(I32))
     norm = normalize_64(cnt, num)
     nc_vals, nc_lens, nc_bytes = ncount_fields(norm)
-    next2d, nb2d, init = build_dense_tables(norm)
+    st_t, dnb_t, dfs_t, init = build_cf_tables(norm)
 
     # Reversed explicit weights r[t] = wexp[num-1-t]; split into the two
     # interleaved chains (A = even t, B = odd t — stream assignment to the
@@ -198,22 +198,24 @@ def weights_fse_payload(lengths: jax.Array) -> tuple[jax.Array, jax.Array, jax.A
     rB = r[1::2]
     nA = (num + 1) // 2
     nB = num // 2
-    tabs2 = jnp.stack([next2d, next2d])
-    init2 = jnp.stack([init, init])
     rAB = jnp.stack([rA, rB])
     n2 = jnp.stack([nA, nB])
-    pre2, fin2 = _state_chain3(tabs2, init2, rAB, n2, NW // 2)
+    pre2, fin2, nb2 = _state_chain3_cf(
+        jnp.stack([st_t, st_t]),
+        jnp.stack([dnb_t, dnb_t]),
+        jnp.stack([dfs_t, dfs_t]),
+        jnp.stack([init, init]),
+        jnp.full((2,), TL, I32),
+        jnp.zeros((2,), bool),
+        rAB,
+        n2,
+        NW // 2,
+    )
     preA, preB = pre2[0], pre2[1]
     finA, finB = fin2[0], fin2[1]
-
-    def sb(pre, rs):
-        rows = pick_rows(nb2d, rs)
-        nb = pick_cols(rows, pre).astype(I32)
-        val = (64 + pre) & ((1 << nb.astype(U32)).astype(I32) - 1)
-        return nb, val
-
-    nbA, vA = sb(preA, rA)
-    nbB, vB = sb(preB, rB)
+    nbA, nbB = nb2[0], nb2[1]
+    vA = (64 + preA) & ((1 << nbA.astype(U32)).astype(I32) - 1)
+    vB = (64 + preB) & ((1 << nbB.astype(U32)).astype(I32) - 1)
     # Interleave to t order (A0,B0,A1,B1,...): field at t uses chain sub-index
     # t//2; fields live for 2 <= t < num.
     nb_t = jnp.stack([nbA, nbB], axis=1).reshape(-1)

@@ -295,7 +295,7 @@ def _parse_prep_stage(blocks: jax.Array, lengths: jax.Array, cfg: PipelineConfig
         )(seqs.ll, seqs.ml, seqs.ob, seqs.nseq)
     else:
         prep = None
-    return seqs, prep, jnp.max(seqs.nseq)
+    return seqs, prep, seqs.nseq
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5))
@@ -322,22 +322,32 @@ def _pick_bucket(bmax: int, full: int) -> int:
     return next((b for b in (2048, 8192) if b < full and bmax <= b), full)
 
 
+def _encode_grouped(blocks, lengths, seqs, prep, nseq_host, cfg: PipelineConfig):
+    """Single-bucket encode at the smallest bucket covering max(nseq).
+
+    (An nseq-sorted multi-group variant was measured 1.8x SLOWER on v5e:
+    encode cost is dominated by per-block Huffman-literal work and per-graph
+    fixed costs, not by the nseq bucket — msb=2048 vs 32768 timed within 10%
+    at equal B — so splitting the batch only multiplies the fixed costs.)"""
+    msb = _pick_bucket(int(nseq_host.max()), cfg.max_seqs)
+    return _encode_stage(blocks, lengths, seqs, prep, cfg, msb)
+
+
 def compress_blocks_staged(blocks: jax.Array, lengths: jax.Array, cfg: PipelineConfig):
     """Host-staged batched block compression (same results as compress_blocks)."""
-    seqs, prep, bmax_dev = _parse_prep_stage(blocks, lengths, cfg)
-    bmax = int(jax.device_get(bmax_dev))
-    msb = _pick_bucket(bmax, cfg.max_seqs)
-    return _encode_stage(blocks, lengths, seqs, prep, cfg, msb)
+    seqs, prep, nseq_dev = _parse_prep_stage(blocks, lengths, cfg)
+    nseq_host = np.asarray(jax.device_get(nseq_dev))
+    return _encode_grouped(blocks, lengths, seqs, prep, nseq_host, cfg)
 
 
 def compress_blocks_staged_many(batches, cfg: PipelineConfig):
     """Pipelined staged compression over an iterable of (blocks, lengths).
 
-    Keeps one batch's parse in flight while the previous batch's bucket scalar
+    Keeps one batch's parse in flight while the previous batch's nseq vector
     crosses the host link, hiding the per-batch round-trip + dispatch gaps
     (the reference overlaps batches with its 3-slot ring + triple streams,
     reference src/pipeline_manager.hpp:12-70; here JAX async dispatch plays
-    the streams' role and only the bucket fetch synchronizes).
+    the streams' role and only the nseq fetch synchronizes).
     Returns a list of (contents, content_lens, block_types) device tuples.
     """
     results = []
@@ -352,10 +362,9 @@ def compress_blocks_staged_many(batches, cfg: PipelineConfig):
 
 
 def _drain_one(pending, cfg: PipelineConfig):
-    jb, jl, (seqs, prep, bmax_dev) = pending.pop(0)
-    bmax = int(jax.device_get(bmax_dev))
-    msb = _pick_bucket(bmax, cfg.max_seqs)
-    return _encode_stage(jb, jl, seqs, prep, cfg, msb)
+    jb, jl, (seqs, prep, nseq_dev) = pending.pop(0)
+    nseq_host = np.asarray(jax.device_get(nseq_dev))
+    return _encode_grouped(jb, jl, seqs, prep, nseq_host, cfg)
 
 
 # --- Host-side framing ---------------------------------------------------------------
