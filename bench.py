@@ -105,12 +105,20 @@ def main() -> None:
     ratio = len(data) / len(comp[0])
     zr = len(data) / len(zstandard.ZstdCompressor(level=3).compress(data))
 
-    # Device-side decompression throughput (single-block frames, inference path).
+    # Device-side decompression throughput (single-block frames, inference
+    # path) with decode-acceleration metadata (format/accel.py — checkpoints
+    # in a trailing skippable frame; output stays stock-libzstd-decodable).
+    from dataclasses import replace
+
     from tpu_zstd.api.decompress import decompress_batch_to_device
 
     frames = compress_items_tpu(
-        [data[i * N : (i + 1) * N] for i in range(B)], cfg
+        [data[i * N : (i + 1) * N] for i in range(B)], replace(cfg, decode_accel=True)
     )
+    for probe in (0, B // 2):
+        assert zstandard.ZstdDecompressor().decompress(
+            frames[probe], max_output_size=N
+        ) == data[probe * N : (probe + 1) * N]
     out, lens = decompress_batch_to_device(frames, max_block=N)
     jax.device_get(lens)
     dts = []

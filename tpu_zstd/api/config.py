@@ -95,6 +95,9 @@ class CompressionConfig:
     enable_ldm: bool = False
     cpu_threshold: int = 1 << 20  # route-to-CPU size threshold (hybrid)
     dict_id: int = 0
+    # Emit decoder-checkpoint metadata (a skippable frame stock libzstd
+    # ignores) enabling chunk-parallel device decompression (format/accel.py).
+    decode_accel: bool = False
 
     @classmethod
     def from_level(cls, level: int) -> "CompressionConfig":

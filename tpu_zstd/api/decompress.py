@@ -269,13 +269,29 @@ def decompress_batch_to_device(
     """
     import jax.numpy as jnp
 
-    from ..ops.decode_jax import SeqTables, decode_sequences_device, execute_sequences_device
+    from ..format.accel import FLAG_REP0_ONLY, parse_accel_tail
+    from ..ops.decode_jax import (
+        SeqTables,
+        decode_sequences_device,
+        decode_sequences_device_chunked,
+        execute_sequences_device,
+    )
     from .manager import _bucket
 
     nf = len(frames)
     plans: list[_BlockPlan | None] = []
     raws: list[bytes | None] = []
+    metas: list = []  # per frame: (nseq, bits, states) or None
+    accel_stride = None
     for f in frames:
+        meta, frame_end = parse_accel_tail(f)
+        rec = None
+        if meta is not None and (meta.flags & FLAG_REP0_ONLY) and len(meta.blocks) == 1:
+            f = f[:frame_end]
+            rec = meta.blocks[0]
+            accel_stride = meta.stride if accel_stride in (None, meta.stride) else -1
+        elif meta is not None:
+            f = f[:frame_end]
         hdr = parse_frame_header(f)
         pos = hdr.header_size
         bh = int.from_bytes(f[pos : pos + 3], "little")
@@ -286,13 +302,23 @@ def decompress_batch_to_device(
         if btype == BLOCK_RAW:
             plans.append(None)
             raws.append(body)
+            metas.append(None)
         elif btype == BLOCK_RLE:
             plans.append(None)
             raws.append(body[:1] * bsize)
+            metas.append(None)
         else:
             plan, _, _ = _parse_block_plan(body, None, None)
             plans.append(plan)
             raws.append(None)
+            metas.append(rec)
+    # Chunk-parallel decode only when every compressed block has checkpoints
+    # at one common stride.
+    use_accel = (
+        accel_stride is not None
+        and accel_stride > 0
+        and all(m is not None for p, m in zip(plans, metas) if p is not None and p.nbseq > 0)
+    )
 
     B = _bucket(max(nf, 1), lo=1)
     swidth = _bucket(
@@ -323,11 +349,33 @@ def decompress_batch_to_device(
             sym[i], nb[i], ns[i], logs[i] = p.tables
 
     tables = SeqTables(jnp.asarray(sym), jnp.asarray(nb), jnp.asarray(ns), jnp.asarray(logs))
-    rep0 = np.tile(np.asarray(REPCODE_INIT, np.int32), (B, 1))
-    ll, ml, off, _ = decode_sequences_device(
-        jnp.asarray(streams), jnp.asarray(tbits), tables,
-        jnp.asarray(nseq), jnp.asarray(rep0), MAX_SEQS_DEC,
-    )
+    if use_accel:
+        C = accel_stride
+        max_nc = max(
+            (-(-int(nseq[i]) // C) for i in range(nf) if plans[i] is not None), default=1
+        )
+        NC = _bucket(max(max_nc, 1), lo=1)
+        ckb = np.zeros((B, max(NC - 1, 1)), np.int32)
+        cks = np.zeros((B, max(NC - 1, 1)), np.int32)
+        ckr = np.ones((B, max(NC - 1, 1)), np.int32)
+        for i, rec in enumerate(metas):
+            if rec is None:
+                continue
+            _, bits_a, st_a, r0_a = rec
+            n = min(len(bits_a), NC - 1)
+            ckb[i, :n] = bits_a[:n].astype(np.int64).astype(np.int32)
+            cks[i, :n] = st_a[:n].astype(np.int64).astype(np.int32)
+            ckr[i, :n] = r0_a[:n].astype(np.int64).astype(np.int32)
+        ll, ml, off, _ = decode_sequences_device_chunked(
+            jnp.asarray(streams), jnp.asarray(tbits), tables, jnp.asarray(nseq),
+            jnp.asarray(ckb), jnp.asarray(cks), jnp.asarray(ckr), C, NC, MAX_SEQS_DEC,
+        )
+    else:
+        rep0 = np.tile(np.asarray(REPCODE_INIT, np.int32), (B, 1))
+        ll, ml, off, _ = decode_sequences_device(
+            jnp.asarray(streams), jnp.asarray(tbits), tables,
+            jnp.asarray(nseq), jnp.asarray(rep0), MAX_SEQS_DEC,
+        )
     out, out_len = execute_sequences_device(
         jnp.asarray(lits), jnp.asarray(nlit), ll, ml, off,
         jnp.asarray(nseq), jnp.zeros((B, 1), jnp.uint8), max_block, 1,

@@ -16,7 +16,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..constants import BLOCK_RAW, BLOCK_RLE
+from ..constants import BLOCK_COMPRESSED, BLOCK_RAW, BLOCK_RLE
 from ..format.frame import write_frame_header
 from ..format.xxhash import content_checksum
 from .config import (
@@ -27,6 +27,9 @@ from .config import (
     Status,
     estimate_compressed_size,
 )
+
+
+ACCEL_STRIDE = 64  # decoder-checkpoint stride (format/accel.py)
 
 
 def _pipeline_config(cfg: CompressionConfig):
@@ -40,6 +43,7 @@ def _pipeline_config(cfg: CompressionConfig):
         min_match=cfg.min_match,
         lazy=cfg.strategy >= 4,          # Strategy.LAZY and up
         huffman_literals=cfg.level >= 3,  # FAST levels trade ratio for speed
+        ckpt_every=ACCEL_STRIDE if cfg.decode_accel else 0,
     )
 
 
@@ -253,7 +257,30 @@ def compress_items_tpu(
     # the largest non-Raw block (Raw blocks re-use the caller's input bytes).
     # On this class of host link (~30 MB/s tunnel measured) the trim is the
     # difference between transfer-bound and compute-bound batches.
-    clens, btypes = jax.device_get((out[1], out[2]))
+    accel = bool(pcfg.ckpt_every) and not windowed
+    accel_meta: list[bytes] = []
+    if accel:
+        from ..format.accel import write_accel_frame
+
+        C = pcfg.ckpt_every
+        clens, btypes, nseq_h = jax.device_get((out[1], out[2], out[6]))
+        nck = np.maximum(-(-nseq_h // C) - 1, 0)
+        mx_ck = int(nck[:B].max()) if B else 0
+        ckb, cks, ckr = jax.device_get(
+            (out[3][:, :mx_ck], out[4][:, :mx_ck], out[5][:, :mx_ck])
+        )
+        e = np.empty(0, np.uint32)
+        for first, nb in spans:
+            recs = []
+            for b in range(first, first + nb):
+                if btypes[b] == BLOCK_COMPRESSED and nseq_h[b] > 0:
+                    n = int(nck[b])
+                    recs.append((int(nseq_h[b]), ckb[b, :n], cks[b, :n], ckr[b, :n]))
+                else:
+                    recs.append((0, e, e, e))
+            accel_meta.append(write_accel_frame(C, recs))
+    else:
+        clens, btypes = jax.device_get((out[1], out[2]))
     nonraw = btypes[:B] != BLOCK_RAW if B else np.zeros(0, bool)
     mx = int(clens[:B][nonraw].max()) if nonraw.any() else 1
     bucket = _bucket(max(mx, 64), lo=64)
@@ -271,6 +298,8 @@ def compress_items_tpu(
             items, spans, contents, clens, btypes, lens_np, cfg, checksum
         )
         if native_out is not None:
+            if accel_meta:
+                return [f + m for f, m in zip(native_out, accel_meta)]
             return native_out
 
     outs: list[bytes] = []
@@ -306,6 +335,8 @@ def compress_items_tpu(
         if checksum:
             parts.append(content_checksum(data).to_bytes(4, "little"))
         outs.append(b"".join(parts))
+    if accel_meta:
+        return [f + m for f, m in zip(outs, accel_meta)]
     return outs
 
 

@@ -238,6 +238,189 @@ def decode_sequences_device(
     return jax.lax.switch(bidx, [mk(b) for b in buckets], None)
 
 
+@functools.partial(jax.jit, static_argnums=(7, 8, 9))
+def decode_sequences_device_chunked(
+    streams: jax.Array,     # (B, S) uint8 sequence bitstreams
+    total_bits: jax.Array,  # (B,) data bits (sentinel stripped)
+    tables: SeqTables,
+    nseq: jax.Array,        # (B,)
+    ck_bits: jax.Array,     # (B, NC-?) checkpoint bit cursors (chunk c -> c-1)
+    ck_states: jax.Array,   # (B, NC-?) packed ll | of<<10 | ml<<20
+    ck_r0: jax.Array,       # (B, NC-?) rep0 seed (resolved offset of seq j-1)
+    stride: int,            # sequences per chunk (accel metadata stride)
+    num_chunks: int,        # static chunk count (>= ceil(max nseq / stride))
+    max_seqs: int,
+):
+    """Chunk-parallel FSE sequence decode from encoder-published checkpoints.
+
+    The serial decoder (decode_sequences_device) walks one bit-serial chain
+    per block — fine for huge batches, but a batch of 64 leaves the VPU
+    ~entirely idle. With decode-acceleration metadata (format/accel.py) every
+    chunk of `stride` sequences knows its starting bit cursor and FSE states,
+    so the scan runs only `stride` steps over B*num_chunks independent rows —
+    the TPU equivalent of the reference's speculative chunk-parallel FSE
+    decode (reference src/cuda_zstd_fse.cu:2674-3283), but exact instead of
+    speculative.
+
+    Only valid for rep0-only streams (accel flag FLAG_REP0_ONLY: the only
+    repcode a decoder reads is rep0 with ll > 0): each chunk row seeds
+    rep = [checkpoint r0, 4, 8] — rep1/rep2 are never consulted. Returns
+    (ll, ml, off, rep_final) shaped like the serial decoder ((B, max_seqs);
+    rep_final is the initial rep — single-shot frames only).
+    """
+    B = streams.shape[0]
+    NC = num_chunks
+    R = B * NC
+    ll_base = jnp.asarray(LL_BASELINE.astype(np.int32))
+    ll_bits = jnp.asarray(LL_BITS.astype(np.int32))
+    ml_base = jnp.asarray(ML_BASELINE.astype(np.int32))
+    ml_bits = jnp.asarray(ML_BITS.astype(np.int32))
+
+    S = streams.shape[1]
+    pad = (-S) % 4
+    sb = jnp.pad(streams, ((0, 0), (0, pad + 4))).astype(U32)
+    words = (
+        sb[:, 0::4][:, : (S + pad) // 4]
+        | (sb[:, 1::4][:, : (S + pad) // 4] << 8)
+        | (sb[:, 2::4][:, : (S + pad) // 4] << 16)
+        | (sb[:, 3::4][:, : (S + pad) // 4] << 24)
+    )
+    SW = words.shape[1]
+    words_flat = words.reshape(-1)
+
+    # Chunk 0 of each block initializes from the stream top (like the serial
+    # path); chunks c >= 1 from checkpoint record c-1.
+    tl = tables.table_log
+    bl0 = total_bits
+    st_ll0, bl0 = _read_bits(words, bl0, tl[:, 0])
+    st_of0, bl0 = _read_bits(words, bl0, tl[:, 1])
+    st_ml0, bl0 = _read_bits(words, bl0, tl[:, 2])
+
+    blk = jnp.repeat(jnp.arange(B, dtype=I32), NC)        # (R,)
+    cix = jnp.tile(jnp.arange(NC, dtype=I32), B)          # (R,)
+    first = cix == 0
+    ckb = jnp.pad(ck_bits, ((0, 0), (0, max(0, NC - 1 - ck_bits.shape[1]))))[:, : NC - 1]
+    cks = jnp.pad(ck_states, ((0, 0), (0, max(0, NC - 1 - ck_states.shape[1]))))[:, : NC - 1]
+    ckr = jnp.pad(
+        ck_r0, ((0, 0), (0, max(0, NC - 1 - ck_r0.shape[1]))), constant_values=1
+    )[:, : NC - 1]
+    ckb_r = jnp.pad(ckb, ((0, 0), (1, 0))).reshape(-1)    # record c-1 at cix=c
+    cks_r = jnp.pad(cks, ((0, 0), (1, 0))).reshape(-1)
+    ckr_r = jnp.pad(ckr, ((0, 0), (1, 0)), constant_values=1).reshape(-1)
+    bits_left = jnp.where(first, bl0[blk], ckb_r.astype(I32))
+    st_ll = jnp.where(first, st_ll0[blk], (cks_r & 0x3FF).astype(I32))
+    st_of = jnp.where(first, st_of0[blk], ((cks_r >> 10) & 0x3FF).astype(I32))
+    st_ml = jnp.where(first, st_ml0[blk], ((cks_r >> 20) & 0x3FF).astype(I32))
+
+    packed_tab = (
+        jnp.clip(tables.symbol, 0, 63)
+        | (jnp.clip(tables.nb_bits, 0, 15) << 6)
+        | (tables.new_state << 10)
+    )  # (B, 3, TSIZE_MAX)
+    pt_flat = packed_tab.reshape(-1)
+    tab_base = blk * (3 * TSIZE_MAX)
+
+    def tab(stream_idx, state):
+        idx = tab_base + stream_idx * TSIZE_MAX + jnp.clip(state, 0, TSIZE_MAX - 1)
+        return jnp.take(pt_flat, idx)
+
+    WIN = 5
+    nseq_r = nseq[blk]
+    word_base = blk * SW
+
+    def _fetch_window(bits_left):
+        top_w = jnp.clip((bits_left - 1) >> 5, 0, SW - 1)
+        base_w = jnp.clip(top_w - 3, 0, max(SW - WIN, 0))
+        idx = word_base[:, None] + jnp.minimum(
+            base_w[:, None] + jnp.arange(WIN, dtype=I32)[None, :], SW - 1
+        )
+        win = jnp.take(words_flat, idx)
+        return win, base_w * 32
+
+    def _read_local(win, base_bit, bits_left, n):
+        nl = bits_left - n
+        rel = jnp.maximum(nl - base_bit, 0)
+        r = jnp.clip(rel >> 5, 0, WIN - 2)
+        sh = (rel & 31).astype(U32)
+        w0 = jnp.zeros_like(bits_left).astype(U32)
+        w1 = jnp.zeros_like(bits_left).astype(U32)
+        for k in range(WIN - 1):
+            w0 = jnp.where(r == k, win[:, k], w0)
+            w1 = jnp.where(r == k, win[:, k + 1], w1)
+        v = (w0 >> sh) | ((w1 << U32(1)) << (U32(31) - sh))
+        mask = jnp.where(
+            n >= 32, U32(0xFFFFFFFF), (U32(1) << jnp.minimum(n, 31).astype(U32)) - U32(1)
+        )
+        return (v & mask).astype(I32), nl
+
+    def _read_local_wide(win, base_bit, bits_left, n):
+        n1 = jnp.maximum(n - 16, 0)
+        hi, bits_left = _read_local(win, base_bit, bits_left, n1)
+        n2 = jnp.minimum(n, 16)
+        lo, bits_left = _read_local(win, base_bit, bits_left, n2)
+        return (hi << jnp.minimum(n, 16)) | lo, bits_left
+
+    def body(carry, t):
+        (bits_left, st_ll, st_of, st_ml, rep) = carry
+        j = cix * stride + t  # global decode step of this row at scan step t
+        active = j < nseq_r
+        p_of = tab(1, st_of)
+        p_ml = tab(2, st_ml)
+        p_ll = tab(0, st_ll)
+        ofc, llc, mlc = p_of & 63, p_ll & 63, p_ml & 63
+        win, base_bit = _fetch_window(bits_left)
+        ofx, bl = _read_local_wide(win, base_bit, bits_left, jnp.where(active, ofc, 0))
+        ofv = jnp.where(ofc > 0, (1 << jnp.minimum(ofc, 30)) + ofx, 1)
+        mlx, bl = _read_local(win, base_bit, bl, jnp.where(active, ml_bits[jnp.clip(mlc, 0, 52)], 0))
+        ml = ml_base[jnp.clip(mlc, 0, 52)] + mlx
+        llx, bl = _read_local(win, base_bit, bl, jnp.where(active, ll_bits[jnp.clip(llc, 0, 35)], 0))
+        ll = ll_base[jnp.clip(llc, 0, 35)] + llx
+        r0, r1, r2 = rep[:, 0], rep[:, 1], rep[:, 2]
+        idx = ofv - 1 + (ll == 0).astype(I32)
+        off_rep = jnp.where(
+            idx == 0, r0,
+            jnp.where(idx == 1, r1, jnp.where(idx == 2, r2, jnp.maximum(r0 - 1, 1))),
+        )
+        is_lit_off = ofv > 3
+        off = jnp.where(is_lit_off, ofv - 3, off_rep)
+        n1 = jnp.where(is_lit_off, r0, jnp.where(idx == 0, r1, r0))
+        n2 = jnp.where(is_lit_off, r1, jnp.where(idx <= 1, r2, r1))
+        rep_new = jnp.stack([off, n1, n2], axis=1)
+        rep = jnp.where(active[:, None], rep_new, rep)
+        upd = active & (j < nseq_r - 1)
+        v, bl = _read_local(win, base_bit, bl, jnp.where(upd, (p_ll >> 6) & 15, 0))
+        st_ll = jnp.where(upd, (p_ll >> 10) + v, st_ll)
+        v, bl = _read_local(win, base_bit, bl, jnp.where(upd, (p_ml >> 6) & 15, 0))
+        st_ml = jnp.where(upd, (p_ml >> 10) + v, st_ml)
+        v, bl = _read_local(win, base_bit, bl, jnp.where(upd, (p_of >> 6) & 15, 0))
+        st_of = jnp.where(upd, (p_of >> 10) + v, st_of)
+        bits_left = jnp.where(active, bl, bits_left)
+        ys = (
+            jnp.where(active, ll, 0),
+            jnp.where(active, ml, 0),
+            jnp.where(active, off, 0),
+        )
+        return (bits_left, st_ll, st_of, st_ml, rep), ys
+
+    r0_seed = jnp.where(first, 1, ckr_r.astype(I32))
+    rep0 = jnp.stack(
+        [r0_seed, jnp.full((R,), 4, I32), jnp.full((R,), 8, I32)], axis=1
+    )
+    init = (bits_left, st_ll, st_of, st_ml, rep0)
+    _, (o_ll, o_ml, o_off) = jax.lax.scan(
+        body, init, jnp.arange(stride, dtype=I32), unroll=4
+    )
+
+    def resh(a):  # (stride, R) -> (B, NC*stride) -> (B, max_seqs)
+        full = a.T.reshape(B, NC, stride).reshape(B, NC * stride)
+        if NC * stride >= max_seqs:
+            return full[:, :max_seqs]
+        return jnp.pad(full, ((0, 0), (0, max_seqs - NC * stride)))
+
+    rep_fin = jnp.tile(jnp.asarray([1, 4, 8], I32)[None, :], (B, 1))
+    return resh(o_ll), resh(o_ml), resh(o_off), rep_fin
+
+
 @functools.partial(jax.jit, static_argnums=(7, 8))
 def execute_sequences_device(
     lits: jax.Array,     # (B, L) uint8 literal bytes (front-compacted)

@@ -473,7 +473,8 @@ def encode_sequences_predefined(
 
 
 def prepare_sequences_auto(
-    ll: jax.Array, ml: jax.Array, ob: jax.Array, nseq: jax.Array, max_seqs: int
+    ll: jax.Array, ml: jax.Array, ob: jax.Array, nseq: jax.Array, max_seqs: int,
+    off: jax.Array | None = None,
 ) -> dict:
     """Bucket-independent half of the auto sequence encoder.
 
@@ -492,10 +493,12 @@ def prepare_sequences_auto(
     ml = ml.astype(I32)
     ob = ob.astype(I32)
 
-    # Reverse all three columns in ONE stacked flip+roll (same shift).
-    stacked = jnp.stack([ll, ml, ob])
+    # Reverse all columns in ONE stacked flip+roll (same shift).
+    cols = [ll, ml, ob] + ([off.astype(I32)] if off is not None else [])
+    stacked = jnp.stack(cols)
     rev3 = dynroll(jnp.flip(stacked, axis=-1), (nseq - ms) % ms, ms)
     r_ll, r_ml, r_ob = rev3[0], rev3[1], rev3[2]
+    r_off = rev3[3] if off is not None else None
     r_llc = ll_code_jnp(r_ll)
     r_mlc = ml_code_jnp(r_ml)
     r_ofc = of_code_jnp(r_ob)
@@ -515,6 +518,7 @@ def prepare_sequences_auto(
         "r_ll": r_ll,
         "r_ml": r_ml,
         "r_ob": r_ob,
+        "r_off": r_off,
         "rsym3": jnp.stack([r_llc, r_ofc, r_mlc]),
         "r_llb": _small_lut(LL_BITS, r_llc),
         "r_mlb": _small_lut(ML_BITS, r_mlc),
@@ -532,12 +536,17 @@ def prepare_sequences_auto(
 
 
 def encode_prepared(
-    prep: dict, nseq: jax.Array, msb: int, out_bytes_cap: int
-) -> tuple[jax.Array, jax.Array]:
+    prep: dict, nseq: jax.Array, msb: int, out_bytes_cap: int, ckpt_every: int = 0
+):
     """Bucket-sized half: state chains, bit fields, deposit, section assembly.
 
     msb must be >= nseq (the caller picks the bucket); prep arrays are sliced
     to msb (reversed order puts all live entries in the prefix).
+
+    Returns (section_bytes, section_len) — plus (ckpt_bits (msb//ckpt_every,),
+    ckpt_states packed ll|of<<10|ml<<20) when ckpt_every > 0 (decoder
+    checkpoints for chunk-parallel decode; entry c-1 describes decode step
+    (c)*ckpt_every, zero where that step >= nseq).
     """
     rsym3 = prep["rsym3"][:, :msb]
 
@@ -576,6 +585,34 @@ def encode_prepared(
 
     lens = jnp.stack([l1, l2, l3], axis=1).reshape(-1)
     vals = jnp.stack([f1, f2, f3], axis=1).reshape(-1)
+
+    if ckpt_every:
+        # Decoder checkpoints (chunk-parallel decode, ops/decode_jax.py
+        # decode_sequences_device_chunked): at decode step j = c*ckpt_every
+        # the decoder's unread-bit cursor is the inclusive prefix of the
+        # per-step field bits up to encoder step nseq-1-j, and its three FSE
+        # states equal the encoder's pre-transition states at step nseq-j
+        # (the encoder walks the same state sequence backward).
+        C = ckpt_every
+        NC = msb // C
+        cum3 = jnp.cumsum(l1 + l2 + l3)
+        c_ar = jnp.arange(1, NC + 1, dtype=I32)
+        t_c = nseq - c_ar * C  # encoder step of checkpoint c
+        ck_valid = t_c >= 1
+        ti = jnp.clip(t_c, 1, msb - 1)
+        ck_bits = jnp.where(ck_valid, jnp.take(cum3, ti - 1), 0)
+        st3_at = jnp.take(pre3, ti, axis=1)  # (3, NC)
+        ck_states = jnp.where(
+            ck_valid,
+            st3_at[0] | (st3_at[1] << 10) | (st3_at[2] << 20),
+            0,
+        )
+        # r0 at the chunk boundary = resolved offset of the previous decoded
+        # sequence (the only repcode slot our rep0-only encoder makes a
+        # decoder read; parse_block emits ofv=1 strictly with ll>0).
+        ck_r0 = jnp.where(ck_valid, jnp.take(prep["r_off"][:msb], ti), 1)
+    else:
+        ck_bits = ck_states = ck_r0 = None
 
     has = (nseq > 0).astype(I32)
     tl_l, tl_o, tl_m = prep["tl3"][0], prep["tl3"][1], prep["tl3"][2]
@@ -624,6 +661,8 @@ def encode_prepared(
     out = out + place(prep["desc_ml"], d_ml, nb_len + has + d_ll + d_of, CAP, 1024)
     out = out + place(stream, has * stream_bytes, hdr_total, CAP, 2048)
     section_len = hdr_total + has * stream_bytes
+    if ckpt_every:
+        return out, section_len, ck_bits, ck_states, ck_r0
     return out, section_len
 
 

@@ -48,6 +48,7 @@ class BlockSequences(NamedTuple):
     ll: jax.Array        # (MS,) int32 literal lengths
     ml: jax.Array        # (MS,) int32 match lengths (>= min_match)
     ob: jax.Array        # (MS,) int32 offset-base values (off+3 or repcode 1)
+    off: jax.Array       # (MS,) int32 RESOLVED offsets (decoder checkpoints)
     starts: jax.Array    # (MS,) int32 match start positions
     nseq: jax.Array      # () int32
     lits: jax.Array      # (N,) uint8 literal bytes, compacted to the front
@@ -312,4 +313,4 @@ def parse_block(
     use_rep0 = valid2 & (k2 > 0) & (ll2 > 0) & (off2 == prev_off2)
     ob = jnp.where(valid2, jnp.where(use_rep0, 1, off2 + 3), 0)
 
-    return BlockSequences(ll2, ml2, ob, starts2, nseq2, lits, nlit)
+    return BlockSequences(ll2, ml2, ob, off2, starts2, nseq2, lits, nlit)

@@ -44,6 +44,7 @@ class PipelineConfig:
     huffman_literals: bool = True  # compress literals (reference emits Raw only)
     custom_fse: bool = True  # per-block FSE sequence tables (ops/fse_tables_jax.py)
     seg_log: int = 10  # greedy-parse segment log (scan length = 2^seg_log)
+    ckpt_every: int = 0  # decoder-checkpoint stride (0 = no accel metadata)
 
     @property
     def max_seqs(self) -> int:
@@ -291,8 +292,10 @@ def _parse_prep_stage(blocks: jax.Array, lengths: jax.Array, cfg: PipelineConfig
         from .fse_jax import prepare_sequences_auto
 
         prep = jax.vmap(
-            lambda a, b, c, n: prepare_sequences_auto(a, b, c, n, cfg.max_seqs)
-        )(seqs.ll, seqs.ml, seqs.ob, seqs.nseq)
+            lambda a, b, c, n, o: prepare_sequences_auto(
+                a, b, c, n, cfg.max_seqs, o if cfg.ckpt_every else None
+            )
+        )(seqs.ll, seqs.ml, seqs.ob, seqs.nseq, seqs.off)
     else:
         prep = None
     return seqs, prep, seqs.nseq
@@ -301,21 +304,30 @@ def _parse_prep_stage(blocks: jax.Array, lengths: jax.Array, cfg: PipelineConfig
 @functools.partial(jax.jit, static_argnums=(4, 5))
 def _encode_stage(blocks, lengths, seqs, prep, cfg: PipelineConfig, msb: int):
     cap = cfg.seq_cap_for(msb)
+    ck = (None, None)
     if cfg.custom_fse:
         from .fse_jax import encode_prepared
 
-        seq_bytes, seq_len = jax.vmap(
-            lambda p, n: encode_prepared(p, n, msb, cap)
-        )(prep, seqs.nseq)
+        enc = jax.vmap(lambda p, n: encode_prepared(p, n, msb, cap, cfg.ckpt_every))(
+            prep, seqs.nseq
+        )
+        if cfg.ckpt_every:
+            seq_bytes, seq_len, ck_bits, ck_states, ck_r0 = enc
+            ck = (ck_bits, ck_states, ck_r0)
+        else:
+            seq_bytes, seq_len = enc
     else:
         seq_bytes, seq_len = jax.vmap(
             lambda x, y, z, w: encode_sequences_predefined(
                 x[:msb], y[:msb], z[:msb], w, msb, cap
             )
         )(seqs.ll, seqs.ml, seqs.ob, seqs.nseq)
-    return jax.vmap(
+    out = jax.vmap(
         lambda b, l, li, nl, ns, sb, sl: _assemble_one(b, l, li, nl, ns, sb, sl, cfg)
     )(blocks, lengths, seqs.lits, seqs.nlit, seqs.nseq, seq_bytes, seq_len)
+    if cfg.ckpt_every:
+        return out + ck + (seqs.nseq,)
+    return out
 
 
 def _pick_bucket(bmax: int, full: int) -> int:
