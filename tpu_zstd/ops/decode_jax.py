@@ -448,8 +448,10 @@ def execute_sequences_device(
     mlv = jnp.where(valid, ml, 0)
 
     adv = llv + mlv
-    out_start = jnp.cumsum(adv, axis=1) - adv          # seq output start
-    lit_start = jnp.cumsum(llv, axis=1) - llv          # seq literal start
+    from .scanops import cummax_i32, cumsum_i32
+
+    out_start = cumsum_i32(adv) - adv                  # seq output start
+    lit_start = cumsum_i32(llv) - llv                  # seq literal start
     match_start = out_start + llv
     total_seq_out = out_start[:, -1] + adv[:, -1]
     total_lits_used = lit_start[:, -1] + llv[:, -1]
@@ -462,25 +464,25 @@ def execute_sequences_device(
     rows = jnp.arange(B, dtype=I32)[:, None]
     diff = diff.at[rows, ms_idx].add(jnp.where(valid & (mlv > 0), 1, 0), mode="drop")
     diff = diff.at[rows, me_idx].add(jnp.where(valid & (mlv > 0), -1, 0), mode="drop")
-    in_match = jnp.cumsum(diff[:, :N], axis=1) > 0
+    in_match = cumsum_i32(diff[:, :N]) > 0
 
     # Offset per match position: scatter per-seq offsets at match starts, then
     # index by match-run id.
     seq_of_run = jnp.zeros((B, MS + 1), I32)
-    run_rank = jnp.cumsum((valid & (mlv > 0)).astype(I32), axis=1) - 1
+    run_rank = cumsum_i32((valid & (mlv > 0)).astype(I32)) - 1
     sidx = jnp.where(valid & (mlv > 0), run_rank, MS)
     seq_of_run = seq_of_run.at[rows, sidx].set(jnp.where(valid, off, 0), mode="drop")
     is_mstart = jnp.zeros((B, N + 1), I32).at[rows, ms_idx].add(
         jnp.where(valid & (mlv > 0), 1, 0), mode="drop"
     )[:, :N]
-    run_id = jnp.cumsum(is_mstart, axis=1) - 1
+    run_id = cumsum_i32(is_mstart) - 1
     rb_runs = (jnp.arange(B, dtype=I32) * (MS + 1))[:, None]
     off_at = jnp.take(
         seq_of_run.reshape(-1), (jnp.clip(run_id, 0, MS) + rb_runs).reshape(-1)
     ).reshape(B, N)
 
     # Literal index per non-match position: j minus match bytes before j.
-    match_before = jnp.cumsum(in_match.astype(I32), axis=1) - in_match.astype(I32)
+    match_before = cumsum_i32(in_match.astype(I32)) - in_match.astype(I32)
     lit_idx = pos[None, :] - match_before
 
     # Source map: literal positions (including tail literals after the last
@@ -497,7 +499,7 @@ def execute_sequences_device(
     prev_match = jnp.pad(in_match, ((0, 0), (1, 0)))[:, :N]
     prev_off = jnp.pad(off_at, ((0, 0), (1, 0)), constant_values=-1)[:, :N]
     new_run = in_match & (~prev_match | (off_at != prev_off))
-    run_start = jax.lax.cummax(jnp.where(new_run, pos[None, :], 0), axis=1)
+    run_start = cummax_i32(jnp.where(new_run, pos[None, :], 0))
     safe_off = jnp.maximum(off_at, 1)
     base = run_start - safe_off
     hop = jnp.where(

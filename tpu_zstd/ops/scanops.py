@@ -43,3 +43,34 @@ def cumsum_i32(x: jax.Array) -> jax.Array:
         inc = jnp.cumsum(sums, axis=-1)
     carry = inc - sums                        # exclusive carry per block
     return (blk + carry[..., None]).reshape(*lead, L).astype(I32)
+
+
+def cummax_i32(x: jax.Array) -> jax.Array:
+    """Inclusive prefix max along the last axis (int32 in/out).
+
+    Same blocked structure as cumsum_i32 (XLA's lax.cummax shares the slow
+    reduce-window lowering): 7 shift-max steps inside 128-wide blocks, a
+    short carry cummax over block maxima, then one combine.
+    """
+    L = x.shape[-1]
+    if L % _BLK != 0 or L < 2 * _BLK:
+        return jax.lax.cummax(x, axis=x.ndim - 1)
+    lead = x.shape[:-1]
+    xb = x.reshape(*lead, L // _BLK, _BLK)
+    loc = xb
+    for s in (1, 2, 4, 8, 16, 32, 64):
+        sh = jnp.concatenate(
+            [jnp.full((*loc.shape[:-1], s), jnp.iinfo(jnp.int32).min, I32), loc[..., :-s]],
+            axis=-1,
+        )
+        loc = jnp.maximum(loc, sh)
+    tops = loc[..., -1]                       # block maxima
+    if L // _BLK >= 2 * _BLK:
+        inc = cummax_i32(tops)
+    else:
+        inc = jax.lax.cummax(tops, axis=tops.ndim - 1)
+    prev = jnp.concatenate(
+        [jnp.full((*inc.shape[:-1], 1), jnp.iinfo(jnp.int32).min, I32), inc[..., :-1]],
+        axis=-1,
+    )
+    return jnp.maximum(loc, prev[..., None]).reshape(*lead, L)
