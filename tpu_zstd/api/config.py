@@ -110,17 +110,17 @@ class CompressionConfig:
         if level <= 2:
             p = dict(strategy=Strategy.FAST, hash_log=15, search_depth=1, compare_cap=16)
         elif level <= 4:
-            p = dict(strategy=Strategy.GREEDY, hash_log=17, search_depth=4, compare_cap=32)
+            p = dict(strategy=Strategy.LAZY, hash_log=17, search_depth=8, compare_cap=32)
         elif level <= 6:
-            p = dict(strategy=Strategy.LAZY, hash_log=17, search_depth=4, compare_cap=64)
+            p = dict(strategy=Strategy.LAZY, hash_log=17, search_depth=8, compare_cap=64)
         elif level <= 9:
-            p = dict(strategy=Strategy.LAZY2, hash_log=18, search_depth=8, compare_cap=64)
+            p = dict(strategy=Strategy.LAZY2, hash_log=18, search_depth=12, compare_cap=64)
         elif level <= 15:
-            p = dict(strategy=Strategy.BTLAZY2, hash_log=18, search_depth=8, compare_cap=64)
+            p = dict(strategy=Strategy.BTLAZY2, hash_log=18, search_depth=12, compare_cap=64)
         elif level <= 19:
-            p = dict(strategy=Strategy.BTOPT, hash_log=18, search_depth=12, compare_cap=64)
+            p = dict(strategy=Strategy.BTOPT, hash_log=18, search_depth=16, compare_cap=64)
         else:
-            p = dict(strategy=Strategy.BTULTRA, hash_log=18, search_depth=16, compare_cap=64)
+            p = dict(strategy=Strategy.BTULTRA, hash_log=18, search_depth=20, compare_cap=64)
         return cls(level=level, **p)
 
     def validate(self) -> Status:

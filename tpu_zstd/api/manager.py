@@ -43,6 +43,7 @@ def _pipeline_config(cfg: CompressionConfig):
         min_match=cfg.min_match,
         lazy=cfg.strategy >= 4,          # Strategy.LAZY and up
         huffman_literals=cfg.level >= 3,  # FAST levels trade ratio for speed
+        of_gate=(8, 12) if cfg.level >= 3 else (99, 99),
         ckpt_every=ACCEL_STRIDE if cfg.decode_accel else 0,
     )
 

@@ -207,6 +207,7 @@ def parse_block(
     block_start: jax.Array | int = 0,
     win_start: jax.Array | int = 0,
     seg_log: int = SEG_LOG,
+    of_gate: tuple[int, int] = (99, 99),
 ) -> BlockSequences:
     """Greedy-parse one (padded) block into sequences. block: (N,) uint8/int32.
 
@@ -229,6 +230,23 @@ def parse_block(
     room = seg - (pos & (seg - 1))
     ml_t = jnp.minimum(bml, room)
     matched = (ml_t >= min_match) & (boff > 0) & (pos < n) & (pos >= block_start)
+    if of_gate != (99, 99):
+        # Offset-cost gate: a short match at a large offset spends more bits
+        # (OF symbol + ~log2(off) extras) than the literals it replaces;
+        # libzstd's level-3 strategy leaves those as literals. Same-offset
+        # continuity stays exempt (rep0 sequences are nearly free).
+        from .fse_jax import highbit32_jnp
+
+        g4, g5 = of_gate
+        ofc = highbit32_jnp(jnp.maximum(boff, 1))
+        prev_boff = jnp.roll(boff, 1)
+        gate = (
+            (ml_t >= 6)
+            | ((ml_t == 4) & (ofc <= g4))
+            | ((ml_t == 5) & (ofc <= g5))
+            | (boff == prev_boff)
+        )
+        matched = matched & gate
     step = jnp.where(matched, ml_t, 1)
 
     defer = None

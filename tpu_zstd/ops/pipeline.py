@@ -36,15 +36,18 @@ class PipelineConfig:
 
     block_size: int = BLOCK_SIZE_MAX
     hash_log: int = 17
-    depth: int = 4
+    depth: int = 8
     cap: int = 32
     min_match: int = 4
-    lazy: bool = False  # 1-step lazy parse (Strategy.LAZY and up)
+    lazy: bool = True  # 1-step lazy parse (Strategy.LAZY and up)
     dict_cap: int = 0  # dictionary-window prefix capacity (0 = no dictionary)
     huffman_literals: bool = True  # compress literals (reference emits Raw only)
     custom_fse: bool = True  # per-block FSE sequence tables (ops/fse_tables_jax.py)
     seg_log: int = 10  # greedy-parse segment log (scan length = 2^seg_log)
     ckpt_every: int = 0  # decoder-checkpoint stride (0 = no accel metadata)
+    # Offset-cost gate (ml-4/ml-5 max offset codes; 99 = off): short matches
+    # at large offsets cost more bits than the literals they replace.
+    of_gate: tuple = (8, 12)
 
     @property
     def max_seqs(self) -> int:
@@ -106,6 +109,7 @@ def _parse_one(block: jax.Array, n: jax.Array, cfg: PipelineConfig, dlen: jax.Ar
         block_start=DC,
         win_start=DC - dlen,
         seg_log=cfg.seg_log,
+        of_gate=cfg.of_gate,
     )
 
 
