@@ -44,6 +44,7 @@ def _pipeline_config(cfg: CompressionConfig):
         lazy=cfg.strategy >= 4,          # Strategy.LAZY and up
         huffman_literals=cfg.level >= 3,  # FAST levels trade ratio for speed
         of_gate=(8, 12) if cfg.level >= 3 else (99, 99),
+        mf_win_log=13 if cfg.level <= 6 else 0,  # ratio-focused levels search the full block
         ckpt_every=ACCEL_STRIDE if cfg.decode_accel else 0,
     )
 

@@ -87,6 +87,7 @@ def find_matches(
     depth: int,
     cap: int,
     win_start: jax.Array | int = 0,
+    mf_win_log: int = 0,
 ) -> tuple[jax.Array, jax.Array]:
     """Best (capped) match per position: returns (best_ml, best_off), pos order.
 
@@ -95,6 +96,12 @@ def find_matches(
     truncated long matches. Positions in [win_start, n) participate as match
     sources/targets (win_start > 0 marks a dictionary-window prefix; bytes
     before it are padding and must never be referenced).
+
+    mf_win_log > 0 restricts candidate SEARCH to 2^mf_win_log-byte windows:
+    the block reshapes to (nwin, W) and every sort runs along the short axis,
+    which is ~2.3x cheaper on v5e (tools/sort_micro.py "8K-windows" row).
+    Match CONTENT still extends past window ends (words are computed on the
+    full block before reshaping); only the candidate set is window-local.
     """
     N = block.shape[0]
     nwords = cap // 4
@@ -103,6 +110,20 @@ def find_matches(
     live = (pos < n - 3) & (pos >= win_start)
     words = [jnp.roll(w, -4 * k).astype(I32) for k in range(nwords)]
 
+    windowed = 0 < mf_win_log < max(1, (N - 1).bit_length()) and N % (1 << mf_win_log) == 0
+    if windowed:
+        W = 1 << mf_win_log
+        shape = (N // W, W)
+        h = h.reshape(shape)
+        live = live.reshape(shape)
+        words = [x.reshape(shape) for x in words]
+        pos_axis = jnp.arange(W, dtype=I32)
+        plog = mf_win_log
+    else:
+        shape = (N,)
+        pos_axis = pos
+        plog = max(1, (N - 1).bit_length())
+
     # Sort positions by (hash, pos). Both orderings are total, so the sort can
     # be UNSTABLE (a stable XLA sort appends a hidden iota tiebreak operand).
     # When hash+pos fit u32 they ride one packed key; dead rows get a
@@ -110,30 +131,35 @@ def find_matches(
     # restore sort then maps row r -> position r for every row). Dead rows may
     # still pair as chain candidates — the n-sp clamp below caps any such
     # match under min_match.
-    plog = max(1, (N - 1).bit_length())
+    lpos = jnp.broadcast_to(pos_axis, shape)
     if hash_log + 1 + plog <= 32:
-        key = ((jnp.where(live, h, 1 << hash_log).astype(U32)) << plog) | pos.astype(U32)
+        key = ((jnp.where(live, h, 1 << hash_log).astype(U32)) << plog) | lpos.astype(U32)
         sorted_ops = jax.lax.sort(tuple([key] + words), num_keys=1, is_stable=False)
         sk = (sorted_ops[0] >> plog).astype(I32)
         sp = (sorted_ops[0] & ((1 << plog) - 1)).astype(I32)
     else:
         key = jnp.where(live, h, 1 << hash_log)
         sorted_ops = jax.lax.sort(
-            tuple([key, pos] + words), num_keys=2, is_stable=False
+            tuple([key, lpos] + words), num_keys=2, is_stable=False
         )
         sk, sp = sorted_ops[0], sorted_ops[1]
     sw = sorted_ops[-nwords:]
 
-    best_ml = jnp.zeros(N, dtype=I32)
-    best_off = jnp.zeros(N, dtype=I32)
+    def _prev(x, d, fill):
+        r = jnp.roll(x, d, axis=-1)
+        if windowed:
+            return r.at[:, :d].set(fill)
+        return r.at[:d].set(fill)
+
+    best_ml = jnp.zeros(shape, dtype=I32)
+    best_off = jnp.zeros(shape, dtype=I32)
     for d in range(1, depth + 1):
-        pk = jnp.roll(sk, d).at[:d].set(-1)
-        pp = jnp.roll(sp, d).at[:d].set(0)
-        same = pk == sk
-        ml = jnp.zeros(N, dtype=I32)
+        same = _prev(sk, d, -1) == sk
+        pp = _prev(sp, d, 0)
+        ml = jnp.zeros(shape, dtype=I32)
         alive = same
         for k in range(nwords):
-            x = sw[k].astype(U32) ^ jnp.roll(sw[k], d).astype(U32)
+            x = sw[k].astype(U32) ^ _prev(sw[k], d, 0).astype(U32)
             inc = _word_inc(x)
             ml = ml + jnp.where(alive, inc, 0)
             alive = alive & (x == 0)
@@ -142,7 +168,11 @@ def find_matches(
         best_off = jnp.where(better, sp - pp, best_off)
 
     # Clamp to block end (also cancels false matches into rolled-around words).
-    best_ml = jnp.minimum(best_ml, jnp.maximum(n - sp, 0))
+    if windowed:
+        gsp = sp + (jnp.arange(N // (1 << mf_win_log), dtype=I32) << mf_win_log)[:, None]
+    else:
+        gsp = sp
+    best_ml = jnp.minimum(best_ml, jnp.maximum(n - gsp, 0))
 
     # Return to position order by sorting on position. (ml, off) ride as ONE
     # packed operand — sort cost grows ~linearly with operand count on v5e
@@ -150,7 +180,7 @@ def find_matches(
     assert cap < (1 << 11)  # ml field: 11 bits above the 20-bit offset
     packed = (best_ml << 20) | best_off
     _, opk = jax.lax.sort((sp, packed), num_keys=1, is_stable=False)
-    return opk >> 20, opk & ((1 << 20) - 1)
+    return opk.reshape(-1) >> 20, opk.reshape(-1) & ((1 << 20) - 1)
 
 
 def greedy_parse(
@@ -208,6 +238,7 @@ def parse_block(
     win_start: jax.Array | int = 0,
     seg_log: int = SEG_LOG,
     of_gate: tuple[int, int] = (99, 99),
+    mf_win_log: int = 0,
 ) -> BlockSequences:
     """Greedy-parse one (padded) block into sequences. block: (N,) uint8/int32.
 
@@ -221,7 +252,8 @@ def parse_block(
     pos = jnp.arange(N, dtype=I32)
 
     bml, boff = find_matches(
-        block, n, hash_log=hash_log, depth=depth, cap=cap, win_start=win_start
+        block, n, hash_log=hash_log, depth=depth, cap=cap, win_start=win_start,
+        mf_win_log=mf_win_log,
     )
 
     # Truncate matches at segment boundaries so segments parse independently;

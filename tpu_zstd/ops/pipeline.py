@@ -48,6 +48,15 @@ class PipelineConfig:
     # Offset-cost gate (ml-4/ml-5 max offset codes; 99 = off): short matches
     # at large offsets cost more bits than the literals they replace.
     of_gate: tuple = (8, 12)
+    # Window-local candidate search (0 = whole block): sorts run along a
+    # 2^mf_win_log axis, ~2.3x cheaper on v5e for -0.8% ratio at 13
+    # (tools/win_sweep.py). Must be 0 in dictionary mode (the preloaded
+    # window prefix has to stay visible to every position).
+    mf_win_log: int = 13
+
+    @property
+    def eff_mf_win_log(self) -> int:
+        return 0 if self.dict_cap else self.mf_win_log
 
     @property
     def max_seqs(self) -> int:
@@ -110,6 +119,7 @@ def _parse_one(block: jax.Array, n: jax.Array, cfg: PipelineConfig, dlen: jax.Ar
         win_start=DC - dlen,
         seg_log=cfg.seg_log,
         of_gate=cfg.of_gate,
+        mf_win_log=cfg.eff_mf_win_log,
     )
 
 
