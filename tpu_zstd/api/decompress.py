@@ -45,6 +45,29 @@ MAX_SEQS_DEC = 44032  # ceil(128K / 3) chunk-aligned
 TSIZE_MAX = 512
 
 
+PALLAS_BUF_MAX = 2 * 1024 * 1024 + 128 * 1024  # window+block bytes fitting VMEM
+
+
+def _pick_executor(buf_bytes: int = 0):
+    """Sequence executor: the Pallas sequential-copy kernel on TPU (2.6x the
+    XLA pointer-doubling executor on v5e, tools/exec_micro.py) while the
+    window+block buffer fits VMEM; XLA elsewhere (interpret-mode Pallas is
+    far slower than XLA on CPU, and long-window frames exceed VMEM)."""
+    import jax
+
+    dev = jax.devices()[0]
+    is_tpu = "tpu" in (
+        dev.platform.lower() + " " + getattr(dev, "device_kind", "").lower()
+    )
+    if is_tpu and buf_bytes <= PALLAS_BUF_MAX:
+        from ..ops.pallas_exec import execute_sequences_pallas
+
+        return execute_sequences_pallas
+    from ..ops.decode_jax import execute_sequences_device
+
+    return execute_sequences_device
+
+
 class _BlockPlan:
     """Host-parsed decode plan for one Compressed block."""
 
@@ -115,14 +138,20 @@ def _parse_block_plan(
 def decompress_batch_tpu(
     frames: list[bytes],
     max_block: int = 128 * 1024,
-    window_cap: int = 128 * 1024,
+    window_cap: int | None = None,
     verify_checksum: bool = True,
 ) -> list[bytes]:
-    """Decompress a batch of zstd frames with device-side block decode."""
+    """Decompress a batch of zstd frames with device-side block decode.
+
+    window_cap: history visible to cross-block matches. Default (None)
+    derives it from the frames' headers (Window_Descriptor / content size,
+    ceiling 1 GB), so any valid frame decodes; passing a smaller cap trades
+    correctness on long-window frames for memory.
+    """
     import jax
     import jax.numpy as jnp
 
-    from ..ops.decode_jax import SeqTables, decode_sequences_device, execute_sequences_device
+    from ..ops.decode_jax import SeqTables, decode_sequences_device
     from .manager import _bucket
 
     nf = len(frames)
@@ -140,6 +169,11 @@ def decompress_batch_tpu(
         hdr = parse_frame_header(f[pos:])
         hdrs.append(hdr)
         cursors.append(pos + hdr.header_size)
+    if window_cap is None:
+        need = max(
+            min(h.window_size or h.content_size or (1 << 30), 1 << 30) for h in hdrs
+        )
+        window_cap = max(4096, -(-need // 4096) * 4096)
     done = [False] * nf
     reps = [list(REPCODE_INIT) for _ in range(nf)]
     seq_tables: list[SeqDecodeTables | None] = [None] * nf
@@ -185,9 +219,12 @@ def decompress_batch_tpu(
         # Device batch: sequence decode + execution with window carry.
         # (pow2 stream width keeps the jit cache small across batches; the
         # window upload is skipped entirely on the first block round — the
-        # common single-block inference case — since all histories are empty)
-        have_window = any(len(outputs[i]) > 0 for i in idxs)
-        wcap_round = window_cap if have_window else 1
+        # common single-block inference case — since all histories are empty.
+        # wcap_round grows pow2 with actual decoded history so early rounds
+        # stay small and the jit cache stays bounded.)
+        have = max((len(outputs[i]) for i in idxs), default=0)
+        wcap_round = _bucket(min(window_cap, have), lo=4096) if have else 1
+        execute_sequences = _pick_executor(wcap_round + max_block)
         swidth = _bucket(max(max(len(plans[i].stream) for i in idxs), 64), lo=64)
         streams = np.zeros((B, swidth), np.uint8)
         tbits = np.zeros(B, np.int32)
@@ -209,7 +246,7 @@ def decompress_batch_tpu(
             nlit[bi] = p.nlit
             if p.tables is not None:
                 sym[bi], nb[bi], ns[bi], logs[bi] = p.tables
-            tail = bytes(outputs[i][-wcap_round:]) if have_window else b""
+            tail = bytes(outputs[i][-wcap_round:]) if have else b""
             if tail:
                 window[bi, wcap_round - len(tail) :] = np.frombuffer(tail, np.uint8)
             rep0[bi] = reps[i]
@@ -222,7 +259,7 @@ def decompress_batch_tpu(
                 jnp.asarray(streams), jnp.asarray(tbits), tables,
                 jnp.asarray(nseq), jnp.asarray(rep0), MAX_SEQS_DEC,
             )
-            out, out_len = execute_sequences_device(
+            out, out_len = execute_sequences(
                 jnp.asarray(lits), jnp.asarray(nlit), ll, ml, off,
                 jnp.asarray(nseq), jnp.asarray(window), max_block, wcap_round,
             )
@@ -274,9 +311,10 @@ def decompress_batch_to_device(
         SeqTables,
         decode_sequences_device,
         decode_sequences_device_chunked,
-        execute_sequences_device,
     )
     from .manager import _bucket
+
+    execute_sequences = _pick_executor(max_block)
 
     nf = len(frames)
     plans: list[_BlockPlan | None] = []
@@ -376,7 +414,7 @@ def decompress_batch_to_device(
             jnp.asarray(streams), jnp.asarray(tbits), tables,
             jnp.asarray(nseq), jnp.asarray(rep0), MAX_SEQS_DEC,
         )
-    out, out_len = execute_sequences_device(
+    out, out_len = execute_sequences(
         jnp.asarray(lits), jnp.asarray(nlit), ll, ml, off,
         jnp.asarray(nseq), jnp.zeros((B, 1), jnp.uint8), max_block, 1,
     )
