@@ -301,18 +301,11 @@ def compress_blocks(blocks: jax.Array, lengths: jax.Array, cfg: PipelineConfig):
 
 @functools.partial(jax.jit, static_argnums=(2,))
 def _parse_prep_stage(blocks: jax.Array, lengths: jax.Array, cfg: PipelineConfig):
+    """Parse-only first dispatch. (Table prep used to run here at full
+    max_seqs width; it now runs inside _encode_stage at the bucket width —
+    ~37% less prep work when max(nseq) lands in a small bucket.)"""
     seqs = jax.vmap(lambda b, l: _parse_one(b, l, cfg))(blocks, lengths)
-    if cfg.custom_fse:
-        from .fse_jax import prepare_sequences_auto
-
-        prep = jax.vmap(
-            lambda a, b, c, n, o: prepare_sequences_auto(
-                a, b, c, n, cfg.max_seqs, o if cfg.ckpt_every else None
-            )
-        )(seqs.ll, seqs.ml, seqs.ob, seqs.nseq, seqs.off)
-    else:
-        prep = None
-    return seqs, prep, seqs.nseq
+    return seqs, None, seqs.nseq
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5))
@@ -320,8 +313,14 @@ def _encode_stage(blocks, lengths, seqs, prep, cfg: PipelineConfig, msb: int):
     cap = cfg.seq_cap_for(msb)
     ck = (None, None)
     if cfg.custom_fse:
-        from .fse_jax import encode_prepared
+        from .fse_jax import encode_prepared, prepare_sequences_auto
 
+        if prep is None:
+            prep = jax.vmap(
+                lambda a, b, c, n, o: prepare_sequences_auto(
+                    a[:msb], b[:msb], c[:msb], n, msb, o[:msb] if cfg.ckpt_every else None
+                )
+            )(seqs.ll, seqs.ml, seqs.ob, seqs.nseq, seqs.off)
         enc = jax.vmap(lambda p, n: encode_prepared(p, n, msb, cap, cfg.ckpt_every))(
             prep, seqs.nseq
         )
@@ -344,8 +343,16 @@ def _encode_stage(blocks, lengths, seqs, prep, cfg: PipelineConfig, msb: int):
     return out
 
 
+# Staged-path bucket ladder (finer than the in-graph lax.switch ladder: each
+# bucket compiles lazily on first use, so granularity costs nothing up front).
+# All entries are multiples of the state-chain CHUNK (64). The state chains +
+# deposit cost is ~linear in the bucket size, so a 20480 bucket saves ~37% of
+# the encode stage vs 32768 when max(nseq) lands just above 16384.
+_BUCKETS = (2048, 4096, 8192, 12288, 16384, 20480, 24576, 28672)
+
+
 def _pick_bucket(bmax: int, full: int) -> int:
-    return next((b for b in (2048, 8192) if b < full and bmax <= b), full)
+    return next((b for b in _BUCKETS if b < full and bmax <= b), full)
 
 
 def _encode_grouped(blocks, lengths, seqs, prep, nseq_host, cfg: PipelineConfig):
