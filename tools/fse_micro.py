@@ -58,7 +58,7 @@ msb = _pick_bucket(int(nseq_h.max()), cfg.max_seqs)
 print("bucket msb =", msb, " max_seqs =", cfg.max_seqs, flush=True)
 
 prep_fn = jax.jit(lambda s: jax.vmap(
-    lambda a, b, c, n: prepare_sequences_auto(a, b, c, n, cfg.max_seqs)
+    lambda a, b, c, n: prepare_sequences_auto(a[:msb], b[:msb], c[:msb], n, msb)
 )(s.ll, s.ml, s.ob, s.nseq))
 prep = timed("prepare (rev+codes+tables)", prep_fn, seqs)
 
@@ -75,4 +75,3 @@ enc_fn = jax.jit(lambda p, ns: jax.vmap(
 )(p, ns))
 timed("encode_prepared (full)", enc_fn, prep, seqs.nseq)
 
-# deposit-only estimate: encode_prepared minus chains

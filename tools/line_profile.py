@@ -43,16 +43,16 @@ _reduce = jax.jit(
     )
 )
 
-seqs, prep, bmax_dev = _parse_prep_stage(blocks, lengths, cfg)
+seqs, bmax_dev = _parse_prep_stage(blocks, lengths, cfg)
 bmax = int(jax.device_get(bmax_dev).max())
 msb = _pick_bucket(bmax, cfg.max_seqs)
-out = _encode_stage(blocks, lengths, seqs, prep, cfg, msb)
+out = _encode_stage(blocks, lengths, seqs, cfg, msb)
 jax.device_get(_reduce(out))
 
 # op name -> source line, from compiled HLO metadata.
 if stage == "encode":
     lowered = jax.jit(lambda *a: _encode_stage(*a, cfg, msb)).lower(
-        blocks, lengths, seqs, prep
+        blocks, lengths, seqs
     )
 else:
     lowered = jax.jit(lambda *a: _parse_prep_stage(*a, cfg)).lower(blocks, lengths)
@@ -68,7 +68,7 @@ for m in pat.finditer(hlo):
 
 with jax.profiler.trace("/tmp/jtrace_l"):
     if stage == "encode":
-        out = _encode_stage(blocks, lengths, seqs, prep, cfg, msb)
+        out = _encode_stage(blocks, lengths, seqs, cfg, msb)
         jax.device_get(_reduce(out))
     else:
         sp = _parse_prep_stage(blocks, lengths, cfg)

@@ -42,18 +42,18 @@ _reduce = jax.jit(
 )
 
 # Warm up (compile) outside the trace.
-seqs, prep, bmax_dev = _parse_prep_stage(blocks, lengths, cfg)
+seqs, bmax_dev = _parse_prep_stage(blocks, lengths, cfg)
 bmax = int(jax.device_get(bmax_dev).max())
 msb = _pick_bucket(bmax, cfg.max_seqs)
-out = _encode_stage(blocks, lengths, seqs, prep, cfg, msb)
+out = _encode_stage(blocks, lengths, seqs, cfg, msb)
 jax.device_get(_reduce(out))
 
 with jax.profiler.trace("/tmp/jtrace"):
     if stage in ("all", "parse"):
-        seqs, prep, bmax_dev = _parse_prep_stage(blocks, lengths, cfg)
-        jax.device_get(_reduce((seqs, prep)))
+        seqs, bmax_dev = _parse_prep_stage(blocks, lengths, cfg)
+        jax.device_get(_reduce(seqs))
     if stage in ("all", "encode"):
-        out = _encode_stage(blocks, lengths, seqs, prep, cfg, msb)
+        out = _encode_stage(blocks, lengths, seqs, cfg, msb)
         jax.device_get(_reduce(out))
 
 # Parse the trace: find the newest trace.json.gz and rank complete events on

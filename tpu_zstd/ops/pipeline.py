@@ -127,11 +127,16 @@ def _fse_bucketed(ll, ml, ob, nseq, cfg: PipelineConfig):
     """Batch-level sequence-section encode with nseq bucketing.
 
     The FSE state pre-pass costs O(max_seqs x table_size) regardless of the
-    actual sequence count, so the batch picks the smallest power-of-4 bucket
-    covering max(nseq) via lax.switch — a REAL branch at batch level (inside
-    vmap it would degenerate to executing every branch)."""
+    actual sequence count, so the batch picks the smallest bucket covering
+    max(nseq) via lax.switch — a REAL branch at batch level (inside vmap it
+    would degenerate to executing every branch). This in-graph ladder is
+    deliberately coarser than the staged path's _BUCKETS: every lax.switch
+    branch compiles eagerly whether used or not, so the single-jit paths
+    (compress_blocks / compress_blocks_dict, incl. pjit sharding) pay compile
+    time per rung; the staged path compiles rungs lazily and can afford the
+    finer ladder."""
     full = cfg.max_seqs
-    buckets = [b for b in (2048, 8192) if b < full] + [full]
+    buckets = [b for b in _BUCKETS[:2] if b < full] + [full]
     bmax = jnp.max(nseq)
     idx = jnp.int32(0)
     for b in buckets[:-1]:
@@ -301,26 +306,25 @@ def compress_blocks(blocks: jax.Array, lengths: jax.Array, cfg: PipelineConfig):
 
 @functools.partial(jax.jit, static_argnums=(2,))
 def _parse_prep_stage(blocks: jax.Array, lengths: jax.Array, cfg: PipelineConfig):
-    """Parse-only first dispatch. (Table prep used to run here at full
-    max_seqs width; it now runs inside _encode_stage at the bucket width —
-    ~37% less prep work when max(nseq) lands in a small bucket.)"""
+    """Parse-only first dispatch. (FSE table prep runs inside _encode_stage at
+    the bucket width — ~37% less prep work when max(nseq) lands in a small
+    bucket.)"""
     seqs = jax.vmap(lambda b, l: _parse_one(b, l, cfg))(blocks, lengths)
-    return seqs, None, seqs.nseq
+    return seqs, seqs.nseq
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5))
-def _encode_stage(blocks, lengths, seqs, prep, cfg: PipelineConfig, msb: int):
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _encode_stage(blocks, lengths, seqs, cfg: PipelineConfig, msb: int):
     cap = cfg.seq_cap_for(msb)
     ck = (None, None)
     if cfg.custom_fse:
         from .fse_jax import encode_prepared, prepare_sequences_auto
 
-        if prep is None:
-            prep = jax.vmap(
-                lambda a, b, c, n, o: prepare_sequences_auto(
-                    a[:msb], b[:msb], c[:msb], n, msb, o[:msb] if cfg.ckpt_every else None
-                )
-            )(seqs.ll, seqs.ml, seqs.ob, seqs.nseq, seqs.off)
+        prep = jax.vmap(
+            lambda a, b, c, n, o: prepare_sequences_auto(
+                a[:msb], b[:msb], c[:msb], n, msb, o[:msb] if cfg.ckpt_every else None
+            )
+        )(seqs.ll, seqs.ml, seqs.ob, seqs.nseq, seqs.off)
         enc = jax.vmap(lambda p, n: encode_prepared(p, n, msb, cap, cfg.ckpt_every))(
             prep, seqs.nseq
         )
@@ -355,7 +359,7 @@ def _pick_bucket(bmax: int, full: int) -> int:
     return next((b for b in _BUCKETS if b < full and bmax <= b), full)
 
 
-def _encode_grouped(blocks, lengths, seqs, prep, nseq_host, cfg: PipelineConfig):
+def _encode_grouped(blocks, lengths, seqs, nseq_host, cfg: PipelineConfig):
     """Single-bucket encode at the smallest bucket covering max(nseq).
 
     (An nseq-sorted multi-group variant was measured 1.8x SLOWER on v5e:
@@ -363,14 +367,14 @@ def _encode_grouped(blocks, lengths, seqs, prep, nseq_host, cfg: PipelineConfig)
     fixed costs, not by the nseq bucket — msb=2048 vs 32768 timed within 10%
     at equal B — so splitting the batch only multiplies the fixed costs.)"""
     msb = _pick_bucket(int(nseq_host.max()), cfg.max_seqs)
-    return _encode_stage(blocks, lengths, seqs, prep, cfg, msb)
+    return _encode_stage(blocks, lengths, seqs, cfg, msb)
 
 
 def compress_blocks_staged(blocks: jax.Array, lengths: jax.Array, cfg: PipelineConfig):
     """Host-staged batched block compression (same results as compress_blocks)."""
-    seqs, prep, nseq_dev = _parse_prep_stage(blocks, lengths, cfg)
+    seqs, nseq_dev = _parse_prep_stage(blocks, lengths, cfg)
     nseq_host = np.asarray(jax.device_get(nseq_dev))
-    return _encode_grouped(blocks, lengths, seqs, prep, nseq_host, cfg)
+    return _encode_grouped(blocks, lengths, seqs, nseq_host, cfg)
 
 
 def compress_blocks_staged_many(batches, cfg: PipelineConfig):
@@ -395,9 +399,9 @@ def compress_blocks_staged_many(batches, cfg: PipelineConfig):
 
 
 def _drain_one(pending, cfg: PipelineConfig):
-    jb, jl, (seqs, prep, nseq_dev) = pending.pop(0)
+    jb, jl, (seqs, nseq_dev) = pending.pop(0)
     nseq_host = np.asarray(jax.device_get(nseq_dev))
-    return _encode_grouped(jb, jl, seqs, prep, nseq_host, cfg)
+    return _encode_grouped(jb, jl, seqs, nseq_host, cfg)
 
 
 # --- Host-side framing ---------------------------------------------------------------
