@@ -235,11 +235,19 @@ def words_to_bytes(words: jax.Array) -> jax.Array:
 def dynroll(x: jax.Array, shift: jax.Array, max_shift: int) -> jax.Array:
     """Right-roll the last axis by a traced shift in [0, max_shift].
 
-    Decomposed into log2 static rolls + selects: under vmap this stays pure
-    VPU work, whereas jnp.roll / dynamic_update_slice with per-lane offsets
-    lower to scatters/gathers (~100M elem/s on v5e — the difference is ~30x).
+    Wide rows on TPU take the one-pass Pallas rotate (ops/pallas_roll.py);
+    everything else decomposes into log2 static rolls + selects: under vmap
+    that stays pure VPU work, whereas jnp.roll / dynamic_update_slice with
+    per-lane offsets lower to scatters/gathers (~100M elem/s on v5e — the
+    difference is ~30x). The log path is also what CPU CI exercises.
     """
     shift = jnp.asarray(shift, jnp.int32)
+    if max_shift > 64:
+        from .pallas_roll import roll_last_maybe
+
+        r = roll_last_maybe(x, shift)
+        if r is not None:
+            return r
     for b in range(max(1, max_shift).bit_length()):
         x = jnp.where((shift >> b) & 1 != 0, jnp.roll(x, 1 << b, axis=-1), x)
     return x

@@ -35,10 +35,14 @@ TSIZE = 1 << MAX_BITS  # Kraft budget at max_bits granularity
 
 
 def huff_payload_cap(block_size: int) -> int:
-    """Buffer capacity for the worst-case 4-stream payload of one block."""
+    """Buffer capacity for the worst-case 4-stream payload of one block.
+
+    Rounded up to 4096 bytes (1024 u32 words) so the stream-placement rolls
+    stay on the one-pass Pallas rotate (ops/pallas_roll.py eligibility)."""
     part = block_size // 4 + 4
     num_words = (part * MAX_BITS) // 8 // 4 + 4
-    return 6 + 4 * (num_words * 4) + 160  # jump + streams + weights header
+    cap = 6 + 4 * (num_words * 4) + 160  # jump + streams + weights header
+    return -(-cap // 4096) * 4096
 
 
 def _floor_log2(v: jax.Array) -> jax.Array:
@@ -383,7 +387,7 @@ def compress_literals_huffman(
     hdr_arr = jnp.where(use_fse, pad_to(hdr_f), pad_to(whdr))
     hdr_len = jnp.where(use_fse, 1 + flen, wlen)
 
-    cap2 = out_cap + 176
+    cap2 = out_cap + 4096  # 4096-aligned (out_cap is) for the Pallas rotate
     out = place(hdr_arr, hdr_len, jnp.zeros((), I32), cap2, 1)
     out = out + place(body, blen, hdr_len, cap2, 256)
     return out, hdr_len + blen, ok_l & (ok_w | ok_f) & ok_s

@@ -72,8 +72,9 @@ class PipelineConfig:
     def seq_cap_for(self, msb: int) -> int:
         """Sequence-section byte capacity for an nseq bucket of msb entries
         (same 40-bit/sequence bound as seq_cap; smaller buckets keep the
-        select-based section assembly proportionally narrow)."""
-        return (msb * 40) // 8 + 1024
+        select-based section assembly proportionally narrow). 4096-aligned so
+        the deposit/placement rolls ride the Pallas rotate."""
+        return -(-((msb * 40) // 8 + 1024) // 4096) * 4096
 
 
 DEFAULT_CONFIG = PipelineConfig()
@@ -208,9 +209,10 @@ def _assemble_one(
     from .bitpack import place
 
     # Raw literals section: header (1-3 bytes) then literals, composed with
-    # select-based placement (no scatters under vmap).
+    # select-based placement (no scatters under vmap). Capacities 4096-aligned
+    # for the Pallas rotate.
     zero = jnp.zeros((), I32)
-    litcap = N + 8
+    litcap = N + 4096
     litsec_raw = place(lh, lit_hdr_len, zero, litcap, 1) + place(
         lits[:N], nlit, lit_hdr_len, litcap, 4
     )
@@ -228,7 +230,7 @@ def _assemble_one(
         hh = _lit_compressed_header(nlit, hlen, h_hdr_len)
         huff_total = h_hdr_len + hlen
         use_h = h_ok & (huff_total < raw_total)
-        litcap = max(N + 8, hcap + 200)
+        litcap = max(N + 4096, hcap + 4096)
         litsec_h = place(hh, h_hdr_len, zero, litcap, 1) + place(
             hpay, hlen, h_hdr_len, litcap, 8
         )
