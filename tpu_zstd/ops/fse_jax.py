@@ -319,41 +319,62 @@ def _state_chain3_cf(
         nxt = ((acc >> ((idx & 3) << 3)) & 0xFF) - ts_b
         return nxt, nb
 
-    # Phase A: per-chunk composed transition over all TS_ entry states.
-    # (A u8 carry — 4x less scan-carry traffic — measured SLOWER on v5e:
-    # 45.6 ms vs 39.0 ms at msb=20480; the per-step u8<->i32 relayouts cost
-    # more than the saved bandwidth.)
-    def stepA(states, inp):  # states (K, nc, TS_)
-        dnb_, dfs_, v = inp  # (K, nc) each
-        nxt, _ = trans(states, dnb_[..., None], dfs_[..., None], ts3[:, None, None], 2)
-        return jnp.where(v[..., None], nxt, states), None
+    # Phases A+B: per-chunk ENTRY states by exact fixpoint iteration.
+    #
+    # (v2 evolved ALL TS_ entry states through every chunk and composed the
+    # chunk functions with a log-depth one-hot scan — O(max_seqs * TS_) work,
+    # ~16 ms of the encode stage at msb=20480. ANS encode transitions
+    # contract hard: one step's image has at most freq(sym) states, so a
+    # 64-symbol chunk map is almost always a CONSTANT function of its entry.
+    # Iterating e[c] <- F[c-1](e[c-1]) from any initial guess therefore
+    # reaches the unique fixpoint — the true entry vector — in ~2 passes of
+    # O(max_seqs) work each; the while_loop bound of nc+1 passes makes the
+    # worst (adversarial, non-contracting) case exact as well, degenerating
+    # to sequential chunk chaining. Convergence is checked on real chunks
+    # only: chunks past nseq are identity maps whose entries are garbage the
+    # callers mask anyway (and would otherwise take one pass per chunk to
+    # flush).)
+    def chunk_finals(e):  # e (K, nc) entries -> finals after each chunk
+        def step(states, inp):
+            dnb_, dfs_, v = inp
+            nxt, _ = trans(states, dnb_, dfs_, ts3[:, None], 1)
+            return jnp.where(v, nxt, states), None
 
-    all0 = jnp.broadcast_to(jnp.arange(TS_, dtype=I32)[None, None, :], (K, nc, TS_))
-    chunk_fn, _ = jax.lax.scan(stepA, all0, xs)
+        f, _ = jax.lax.scan(step, e, xs)
+        return f
 
-    # Phase B: log-depth prefix composition of the chunk transition functions,
-    # then read each chunk's entry state off the exclusive prefix at `init`.
-    def compose(a, b):  # a then b, both (..., TS_) function tables
-        oh = (jnp.clip(a, 0, TS_ - 1)[..., None] == jnp.arange(TS_, dtype=I32)).astype(F32)
-        return jnp.sum(oh * b[..., None, :].astype(F32), axis=-1).astype(I32)
+    c_idx = jnp.arange(nc, dtype=I32)
+    real = valid.any(axis=2)  # (K, nc) chunk has any live step
+    c_last = jnp.max(jnp.where(real, c_idx[None, :], 0), axis=1)  # (K,)
 
-    prefix = jax.lax.associative_scan(compose, chunk_fn, axis=1)  # inclusive
-    ident = jnp.broadcast_to(jnp.arange(TS_, dtype=I32)[None, None, :], (K, 1, TS_))
-    exc = jnp.concatenate([ident, prefix[:, :-1]], axis=1)  # (K, nc, TS_)
-    oh_init = (init[:, None, None] == jnp.arange(TS_, dtype=I32)).astype(F32)
-    entries = jnp.sum(exc.astype(F32) * oh_init, axis=-1).astype(I32)  # (K, nc)
-    oh_last = (init[:, None] == jnp.arange(TS_, dtype=I32)).astype(F32)
-    fin = jnp.sum(prefix[:, -1].astype(F32) * oh_last, axis=-1).astype(I32)  # (K,)
-    fin = jnp.where(rle3, 0, fin)
+    def fix_cond(carry):
+        it, _, done = carry
+        return (~done) & (it < nc + 1)
+
+    def fix_body(carry):
+        it, e, _ = carry
+        f = chunk_finals(e)
+        e_new = jnp.concatenate([init[:, None], f[:, :-1]], axis=1)
+        done = jnp.all(jnp.where(real, e_new == e, True))
+        return it + 1, e_new, done
+
+    e0 = jnp.broadcast_to(init[:, None], (K, nc))
+    _, entries, _ = jax.lax.while_loop(
+        fix_cond, fix_body, (jnp.zeros((), I32), e0, jnp.zeros((), bool))
+    )
 
     # Phase C: re-walk each chunk from its entry state, recording the
-    # pre-transition state AND the transition's bit count.
+    # pre-transition state AND the transition's bit count. The scan's final
+    # carry is the per-chunk final-state vector; the flush state `fin` is the
+    # last REAL chunk's final.
     def stepC(states, inp):  # states (K, nc)
         dnb_, dfs_, v = inp
         nxt, nb = trans(states, dnb_, dfs_, ts3[:, None], 1)
         return jnp.where(v, nxt, states), (states, jnp.where(v, nb, 0))
 
-    _, (pre_seq, nb_seq) = jax.lax.scan(stepC, entries, xs)
+    finals, (pre_seq, nb_seq) = jax.lax.scan(stepC, entries, xs)
+    fin = jnp.sum(jnp.where(c_idx[None, :] == c_last[:, None], finals, 0), axis=1)
+    fin = jnp.where(rle3, 0, fin)
     # (CHUNK, K, nc): value at step s = c*CHUNK + i -> roll to t = s+1.
     pre = jnp.roll(pre_seq.transpose(1, 2, 0).reshape(K, -1), 1, axis=1)
     nb = jnp.roll(nb_seq.transpose(1, 2, 0).reshape(K, -1), 1, axis=1)
