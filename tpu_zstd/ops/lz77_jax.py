@@ -111,6 +111,29 @@ def find_matches(
     words = [jnp.roll(w, -4 * k).astype(I32) for k in range(nwords)]
 
     windowed = 0 < mf_win_log < max(1, (N - 1).bit_length()) and N % (1 << mf_win_log) == 0
+    if (
+        windowed
+        and mf_win_log >= 10
+        and hash_log + 1 + mf_win_log <= 31  # key = hash<<plog|pos fits i32
+        and jax.default_backend() == "tpu"
+    ):
+        # Fused Pallas path: hash-sort + depth compares + position-restore
+        # sort in ONE kernel per window (ops/pallas_match.py) — no HBM
+        # round-trips between the stages.
+        from .pallas_match import match_windows
+
+        W = 1 << mf_win_log
+        sentinel = 1 << hash_log
+        shape2 = (N // W, W)
+        lpos = jnp.broadcast_to(jnp.arange(W, dtype=I32), shape2)
+        hw = jnp.where(live, h, sentinel).reshape(shape2)
+        key = (hw << mf_win_log) | lpos
+        wws = [x.reshape(shape2) for x in words]
+        best_ml, best_off = match_windows(key, wws, depth, sentinel)
+        best_ml = best_ml.reshape(-1)
+        best_off = best_off.reshape(-1)
+        best_ml = jnp.minimum(best_ml, jnp.maximum(n - pos, 0))
+        return best_ml, best_off
     if windowed:
         W = 1 << mf_win_log
         shape = (N // W, W)
