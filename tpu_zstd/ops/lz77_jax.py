@@ -42,6 +42,16 @@ SEG_LOG = 10  # default greedy-parse segment (1 KB; see PipelineConfig.seg_log)
 SEG = 1 << SEG_LOG
 
 
+def _sort_unique(key: jax.Array, *pays: jax.Array) -> tuple[jax.Array, ...]:
+    """Ascending sort of 1-D ops by a UNIQUE key.
+
+    Measured on v5e (tools/psort_micro.py, 2026-08-20): XLA's generic sort
+    beats the Pallas bitonic kernel at every hot shape — (64x131072, 3 ops)
+    37 ms vs VMEM-OOM, (1024x8192, 9 ops) 39 vs 47 ms — so this routes to XLA
+    unconditionally; the kernel remains for narrow in-kernel use."""
+    return jax.lax.sort((key, *pays), num_keys=1, is_stable=False)
+
+
 class BlockSequences(NamedTuple):
     """Fixed-capacity per-block parse result (entries >= nseq are zero)."""
 
@@ -88,6 +98,7 @@ def find_matches(
     cap: int,
     win_start: jax.Array | int = 0,
     mf_win_log: int = 0,
+    use_pallas_match: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Best (capped) match per position: returns (best_ml, best_off), pos order.
 
@@ -115,11 +126,14 @@ def find_matches(
         windowed
         and mf_win_log >= 10
         and hash_log + 1 + mf_win_log <= 31  # key = hash<<plog|pos fits i32
+        and use_pallas_match
         and jax.default_backend() == "tpu"
     ):
         # Fused Pallas path: hash-sort + depth compares + position-restore
-        # sort in ONE kernel per window (ops/pallas_match.py) — no HBM
-        # round-trips between the stages.
+        # sort in ONE kernel per window (ops/pallas_match.py). Off by default:
+        # measured 141 ms vs the XLA 3-dispatch path's ~75 ms at 64x128KB
+        # (the bitonic network is VPU-bound above what XLA's sort achieves;
+        # fusing away HBM trips doesn't recover the gap).
         from .pallas_match import match_windows
 
         W = 1 << mf_win_log
@@ -325,7 +339,7 @@ def parse_block(
     # pos-restore sort above for the rationale.
     pk_pb = (pos << 8) | block.astype(I32)
     pk_mo = (ml_t << 20) | boff
-    _, e_pb, e_mo = jax.lax.sort((sel_key, pk_pb, pk_mo), num_keys=1, is_stable=False)
+    _, e_pb, e_mo = _sort_unique(sel_key, pk_pb, pk_mo)
     e_pos = e_pb >> 8
     e_byte = e_pb & 0xFF
     e_ml = e_mo >> 20
@@ -362,12 +376,10 @@ def parse_block(
     mls_v = jnp.where(valid, mls, 0)
     exc_ml = cumsum_i32(mls_v) - mls_v
     total_ml = exc_ml[-1] + mls_v[-1]
-    mkey = jnp.where(head, k, max_seqs)
-    # mkey is unique only on head rows; non-heads share max_seqs, but all
-    # their payloads are discarded (valid2 masks them), so unstable is safe.
-    _, m_ll, m_off, m_start, m_exc = jax.lax.sort(
-        (mkey, lls, offs, starts, exc_ml), num_keys=1, is_stable=False
-    )
+    # Key is unique (heads keep k < max_seqs, non-heads get max_seqs + k);
+    # non-head payloads land at the back and are discarded by the valid2 mask.
+    mkey = jnp.where(head, k, max_seqs + k)
+    _, m_ll, m_off, m_start, m_exc = _sort_unique(mkey, lls, offs, starts, exc_ml)
     k2 = jnp.arange(max_seqs, dtype=I32)
     valid2 = k2 < nseq2
     next_exc = jnp.where(

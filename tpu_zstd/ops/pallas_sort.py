@@ -39,27 +39,26 @@ I32 = jnp.int32
 LANES = 128
 
 
-def _ce_stage(ops: list[jax.Array], d, kbit, sub_ids, lane_ids):
-    """One compare-exchange stage at XOR distance d (traced), direction from
-    bit `kbit` (traced power of two) of the element index. ops[0] is the key;
-    every operand is (SUBS, 128) i32."""
+def _ce_stage(ops: list[jax.Array], d: int, kbit: int, sub_ids, lane_ids):
+    """One compare-exchange stage at XOR distance d (STATIC), direction from
+    bit `kbit` (static power of two) of the element index. ops[0] is the key;
+    every operand is (SUBS, 128) i32.
+
+    Static distances matter: pltpu.roll with a compile-time shift lowers to a
+    single lane/sublane shuffle, while a traced shift (the previous fori_loop
+    formulation) lowered to a dynamic rotate + per-stage lax.cond — measured
+    ~4x slower for the whole network (tools/psort_micro.py)."""
     key = ops[0]
+    SUBS = key.shape[0]
     i_flat = sub_ids * LANES + lane_ids
 
     def roll_pair(x):
         # partner value at index i ^ d: elements with (i & d) == 0 need
         # x[i + d] (roll -d), the rest x[i - d] (roll +d).
-        lo = jax.lax.cond(
-            d < LANES,
-            lambda: pltpu.roll(x, -(d % LANES), 1),
-            lambda: pltpu.roll(x, -(d // LANES) % x.shape[0], 0),
-        )
-        hi = jax.lax.cond(
-            d < LANES,
-            lambda: pltpu.roll(x, d % LANES, 1),
-            lambda: pltpu.roll(x, (d // LANES) % x.shape[0], 0),
-        )
-        return lo, hi
+        if d < LANES:
+            return pltpu.roll(x, (-d) % LANES, 1), pltpu.roll(x, d, 1)
+        s = d // LANES
+        return pltpu.roll(x, (-s) % SUBS, 0), pltpu.roll(x, s % SUBS, 0)
 
     bit0 = (i_flat & d) == 0
     p_lo, p_hi = roll_pair(key)
@@ -79,22 +78,18 @@ def _ce_stage(ops: list[jax.Array], d, kbit, sub_ids, lane_ids):
 
 
 def _sort_body(ops: list[jax.Array], log_w: int):
-    """Full bitonic network over ops (each (SUBS, 128), flat width 2^log_w)."""
+    """Full bitonic network over ops (each (SUBS, 128), flat width 2^log_w),
+    fully unrolled with static shuffle distances."""
     SUBS = ops[0].shape[0]
     sub_ids = jax.lax.broadcasted_iota(I32, (SUBS, LANES), 0)
     lane_ids = jax.lax.broadcasted_iota(I32, (SUBS, LANES), 1)
-
-    def outer(k, ops):
-        kbit = jnp.int32(2) << k  # direction bit for merge level k
-
-        def inner(jj, ops):
-            d = (jnp.int32(1) << k) >> jj
-            return _ce_stage(ops, d, kbit, sub_ids, lane_ids)
-
-        return jax.lax.fori_loop(0, k + 1, inner, ops)
-
     # Final merge (k = log_w - 1) has kbit = 2^log_w: bit always 0 -> ascending.
-    return jax.lax.fori_loop(0, log_w, outer, ops)
+    for k in range(log_w):
+        kbit = 2 << k  # direction bit for merge level k
+        for j in range(k + 1):
+            d = (1 << k) >> j
+            ops = _ce_stage(ops, d, kbit, sub_ids, lane_ids)
+    return ops
 
 
 def _make_kernel(n_ops: int, log_w: int):
@@ -126,16 +121,36 @@ def _sort_rows_impl(ops: tuple[jax.Array, ...], interpret: bool):
     return tuple(o.reshape(R, W) for o in outs)
 
 
+@jax.custom_batching.custom_vmap
 def sort_rows(*ops: jax.Array) -> tuple[jax.Array, ...]:
     """Sort each row of the (R, W) i32 operands ascending by ops[0].
 
     W must be a power of two and a multiple of 1024 (sublane-aligned tiles).
-    Keys must be unique within each row. Returns the reordered operands.
+    Keys must be unique within each row (ties mis-route payloads). Returns
+    the reordered operands. vmap collapses batch axes into the row grid.
     """
     W = ops[0].shape[-1]
     assert W & (W - 1) == 0 and W >= 1024, W
     interpret = jax.default_backend() != "tpu"
     return _sort_rows_impl(tuple(o.astype(I32) for o in ops), interpret)
+
+
+@sort_rows.def_vmap
+def _sort_rows_vmap(axis_size, in_batched, *ops):
+    ops = [
+        o if b else jnp.broadcast_to(o, (axis_size,) + o.shape)
+        for o, b in zip(ops, in_batched)
+    ]
+    W = ops[0].shape[-1]
+    flat = sort_rows(*[o.reshape(-1, W) for o in ops])
+    shape = ops[0].shape
+    return tuple(o.reshape(shape) for o in flat), tuple(True for _ in flat)
+
+
+def sort_1d(*ops: jax.Array) -> tuple[jax.Array, ...]:
+    """sort_rows over 1-D operands (one row); vmap-friendly entry point."""
+    outs = sort_rows(*[o[None] for o in ops])
+    return tuple(o[0] for o in outs)
 
 
 def sortable(width: int) -> bool:
