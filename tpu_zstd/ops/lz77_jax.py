@@ -182,11 +182,14 @@ def find_matches(
         sk, sp = sorted_ops[0], sorted_ops[1]
     sw = sorted_ops[-nwords:]
 
+    # Select-based edge fill: .at[:, :d].set(fill) lowers to dynamic-update-
+    # slices that XLA fused into a 21M-cycle kLoop at 64x128KB (15 ms, the
+    # single hottest parse op); iota-compare + where fuses elementwise.
+    edge_idx = jax.lax.broadcasted_iota(I32, shape, len(shape) - 1)
+
     def _prev(x, d, fill):
         r = jnp.roll(x, d, axis=-1)
-        if windowed:
-            return r.at[:, :d].set(fill)
-        return r.at[:d].set(fill)
+        return jnp.where(edge_idx < d, fill, r)
 
     best_ml = jnp.zeros(shape, dtype=I32)
     best_off = jnp.zeros(shape, dtype=I32)
@@ -237,6 +240,16 @@ def greedy_parse(
     """
     N = step.shape[0]
     nseg = N // seg
+    if seg <= 1024 and jax.default_backend() == "tpu":
+        # Pallas kernel: the whole sequential walk inside VMEM (~15x cheaper
+        # than the lax.scan below — its per-iteration work is a few vregs, so
+        # XLA loop overhead dominates; see ops/pallas_greedy.py).
+        from .pallas_greedy import greedy_segments
+
+        d = jnp.zeros_like(step) if defer is None else defer.astype(I32)
+        packed = (step | (matched.astype(I32) << 11) | (d << 12)).reshape(nseg, seg)
+        out = greedy_segments(packed).reshape(-1)
+        return (out & 1) == 1, (out & 2) == 2
     st = step.reshape(nseg, seg).T          # (seg, nseg)
     mt = matched.reshape(nseg, seg).T
     if defer is None:
@@ -335,22 +348,19 @@ def parse_block(
     # of N rows replaces the previous two).
     nlit = jnp.sum(is_lit.astype(I32))
     sel_key = jnp.where(is_seq, pos, jnp.where(is_lit, N + pos, 2 * N + pos))
-    # Payloads packed into two operands (pos<<8|byte, ml<<20|off) — see the
-    # pos-restore sort above for the rationale.
-    pk_pb = (pos << 8) | block.astype(I32)
-    pk_mo = (ml_t << 20) | boff
-    _, e_pb, e_mo = _sort_unique(sel_key, pk_pb, pk_mo)
-    e_pos = e_pb >> 8
-    e_byte = e_pb & 0xFF
-    e_ml = e_mo >> 20
-    e_off = e_mo & ((1 << 20) - 1)
+    # ONE payload operand: the sorted key itself encodes pos (seq rows sort to
+    # the front with key == pos, so starts = key[:max_seqs]); the payload only
+    # needs (ml<<20|off) on seq rows and the literal byte on lit rows — the
+    # row classes are disjoint. Sort cost is ~linear in operand count.
+    pk = jnp.where(is_seq, (ml_t << 20) | boff, block.astype(I32))
+    e_key, e_pk = _sort_unique(sel_key, pk)
     from .bitpack import dynroll_left
 
     nseq_pre = jnp.sum(is_seq.astype(I32))
-    lits = dynroll_left(e_byte, nseq_pre, N).astype(jnp.uint8)
-    starts = e_pos[:max_seqs]
-    mls = e_ml[:max_seqs]
-    offs = e_off[:max_seqs]
+    lits = dynroll_left(e_pk & 0xFF, nseq_pre, N).astype(jnp.uint8)
+    starts = e_key[:max_seqs]
+    mls = e_pk[:max_seqs] >> 20
+    offs = e_pk[:max_seqs] & ((1 << 20) - 1)
     k = jnp.arange(max_seqs, dtype=I32)
     valid = k < nseq
     starts = jnp.where(valid, starts, 0)
@@ -362,33 +372,30 @@ def parse_block(
     lls = jnp.where(valid, starts - prev_end, 0)
 
     # Merge contiguous same-offset sequences (recovers matches beyond `cap`
-    # and across segment boundaries). Valid rows partition into contiguous
-    # head..cont runs, so each merged length is a difference of the exclusive
-    # match-length prefix sum at consecutive heads — the prefix rides the
-    # head-compaction sort and is differenced against the next row (no
-    # segment_sum scatter, no O(N)-slow XLA cumsum — see ops/scanops.py).
-    from .scanops import cumsum_i32
-
+    # and across segment boundaries). Valid rows tile [block_start, end) as
+    # ll+ml runs, so a head's merged length ends where the NEXT head's match
+    # begins (its start minus its literal run) — no prefix sum needed; the
+    # last head ends at the last valid row's match end.
     prev_off = jnp.roll(offs, 1).at[0].set(0)
     cont = valid & (k > 0) & (lls == 0) & (offs == prev_off) & (offs > 0)
     head = valid & ~cont
     nseq2 = jnp.sum(head.astype(I32))
-    mls_v = jnp.where(valid, mls, 0)
-    exc_ml = cumsum_i32(mls_v) - mls_v
-    total_ml = exc_ml[-1] + mls_v[-1]
+    end_last = jnp.max(jnp.where(valid, starts + mls, 0))
     # Key is unique (heads keep k < max_seqs, non-heads get max_seqs + k);
     # non-head payloads land at the back and are discarded by the valid2 mask.
     mkey = jnp.where(head, k, max_seqs + k)
-    _, m_ll, m_off, m_start, m_exc = _sort_unique(mkey, lls, offs, starts, exc_ml)
+    _, m_ll, m_off, m_start = _sort_unique(mkey, lls, offs, starts)
     k2 = jnp.arange(max_seqs, dtype=I32)
     valid2 = k2 < nseq2
-    next_exc = jnp.where(
-        k2 == nseq2 - 1, total_ml, jnp.roll(m_exc, -1).at[-1].set(0)
+    next_begin = jnp.where(
+        k2 == nseq2 - 1,
+        end_last,
+        jnp.roll(m_start, -1) - jnp.roll(m_ll, -1),
     )
     ll2 = jnp.where(valid2, m_ll, 0)
     off2 = jnp.where(valid2, m_off, 0)
     starts2 = jnp.where(valid2, m_start, 0)
-    ml2 = jnp.where(valid2, next_exc - m_exc, 0)
+    ml2 = jnp.where(valid2, next_begin - m_start, 0)
 
     # Offset-base values: rep0 when the offset repeats with literals in
     # between. The FIRST sequence of a block never uses a repcode: rep history
