@@ -37,14 +37,21 @@ def _pipeline_config(cfg: CompressionConfig):
 
     return PipelineConfig(
         block_size=cfg.block_size,
-        hash_log=cfg.hash_log,
+        # 17 bits keep (hash << mf_win_log | pos) in one i32 sort key; at a
+        # 16 KB window a 17-bit hash is already collision-sparse.
+        hash_log=min(cfg.hash_log, 17),
         depth=cfg.search_depth,
         cap=cfg.compare_cap,
         min_match=cfg.min_match,
         lazy=cfg.strategy >= 4,          # Strategy.LAZY and up
+        optimal=cfg.strategy >= 7,       # Strategy.BTOPT and up (levels 16+)
         huffman_literals=cfg.level >= 3,  # FAST levels trade ratio for speed
         of_gate=(8, 12) if cfg.level >= 3 else (99, 99),
-        mf_win_log=13 if cfg.level <= 6 else 0,  # ratio-focused levels search the full block
+        # Ratio-focused levels widen the candidate window instead of going
+        # full-block: a 16 KB window keys (hash << 14 | pos) into one i32 and
+        # keeps the sort compile tractable (the full-block two-key 17-operand
+        # sort at width 128K took > 20 min to compile on v5e).
+        mf_win_log=13 if cfg.level <= 6 else 14,
         ckpt_every=ACCEL_STRIDE if cfg.decode_accel else 0,
     )
 

@@ -289,6 +289,7 @@ def parse_block(
     seg_log: int = SEG_LOG,
     of_gate: tuple[int, int] = (99, 99),
     mf_win_log: int = 0,
+    optimal: bool = False,
 ) -> BlockSequences:
     """Greedy-parse one (padded) block into sequences. block: (N,) uint8/int32.
 
@@ -312,30 +313,45 @@ def parse_block(
     room = seg - (pos & (seg - 1))
     ml_t = jnp.minimum(bml, room)
     matched = (ml_t >= min_match) & (boff > 0) & (pos < n) & (pos >= block_start)
-    if of_gate != (99, 99):
-        # Offset-cost gate: a short match at a large offset spends more bits
-        # (OF symbol + ~log2(off) extras) than the literals it replaces;
-        # libzstd's level-3 strategy leaves those as literals. Same-offset
-        # continuity stays exempt (rep0 sequences are nearly free).
-        from .fse_jax import highbit32_jnp
-
-        g4, g5 = of_gate
-        ofc = highbit32_jnp(jnp.maximum(boff, 1))
-        prev_boff = jnp.roll(boff, 1)
-        gate = (
-            (ml_t >= 6)
-            | ((ml_t == 4) & (ofc <= g4))
-            | ((ml_t == 5) & (ofc <= g5))
-            | (boff == prev_boff)
-        )
-        matched = matched & gate
-    step = jnp.where(matched, ml_t, 1)
-
     defer = None
-    if lazy:
-        next_ml = jnp.roll(ml_t, -1).at[-1].set(0)
-        next_matched = jnp.roll(matched, -1).at[-1].set(False)
-        defer = matched & next_matched & (next_ml > ml_t + 1)
+    if optimal:
+        # BTOPT-style exact segment DP over the candidate set (levels 16-22,
+        # ops/pallas_opt.py): replaces the greedy/lazy/of_gate heuristics with
+        # a static bit-cost minimization; the walk then executes its choices
+        # (a chosen step < ml_t deliberately shortens the match).
+        from .fse_jax import highbit32_jnp
+        from .pallas_opt import opt_steps
+
+        ofc = highbit32_jnp(jnp.maximum(boff + 3, 1))
+        mlv = jnp.where(matched, jnp.minimum(ml_t, 127), 0)
+        packed = mlv | (jnp.minimum(ofc, 31) << 7)
+        dp = opt_steps(packed.reshape(-1, seg), min_match, min(cap, 127)).reshape(-1)
+        matched = dp > 1
+        ml_t = jnp.where(matched, dp, ml_t)
+        step = jnp.where(matched, dp, 1)
+    else:
+        if of_gate != (99, 99):
+            # Offset-cost gate: a short match at a large offset spends more
+            # bits (OF symbol + ~log2(off) extras) than the literals it
+            # replaces; libzstd's level-3 strategy leaves those as literals.
+            # Same-offset continuity stays exempt (rep0 is nearly free).
+            from .fse_jax import highbit32_jnp
+
+            g4, g5 = of_gate
+            ofc = highbit32_jnp(jnp.maximum(boff, 1))
+            prev_boff = jnp.roll(boff, 1)
+            gate = (
+                (ml_t >= 6)
+                | ((ml_t == 4) & (ofc <= g4))
+                | ((ml_t == 5) & (ofc <= g5))
+                | (boff == prev_boff)
+            )
+            matched = matched & gate
+        step = jnp.where(matched, ml_t, 1)
+        if lazy:
+            next_ml = jnp.roll(ml_t, -1).at[-1].set(0)
+            next_matched = jnp.roll(matched, -1).at[-1].set(False)
+            defer = matched & next_matched & (next_ml > ml_t + 1)
 
     is_seq, is_lit = greedy_parse(step, matched, defer, seg=seg)
     is_seq = is_seq & (pos < n)
@@ -397,12 +413,22 @@ def parse_block(
     starts2 = jnp.where(valid2, m_start, 0)
     ml2 = jnp.where(valid2, next_begin - m_start, 0)
 
-    # Offset-base values: rep0 when the offset repeats with literals in
-    # between. The FIRST sequence of a block never uses a repcode: rep history
-    # carries across blocks in a frame (RFC 8878 §3.1.1.5), and blocks are
-    # compressed independently here, so the inherited state is unknown.
-    prev_off2 = jnp.roll(off2, 1).at[0].set(-1)
-    use_rep0 = valid2 & (k2 > 0) & (ll2 > 0) & (off2 == prev_off2)
-    ob = jnp.where(valid2, jnp.where(use_rep0, 1, off2 + 3), 0)
+    # Offset-base values with FULL repcode usage (rep0/rep1/rep2) via an exact
+    # sequential history walk (ops/pallas_rep.py; the host rule is
+    # format/sequences.py encode_offset). Initial history is unknown — blocks
+    # are compressed independently while rep state carries across blocks in a
+    # frame (RFC 8878 §3.1.1.5) — so matches only fire on entries established
+    # in-block; the first sequence always spells its offset.
+    packed_rep = jnp.where(
+        valid2, off2 | ((ll2 > 0).astype(I32) << 20) | (1 << 21), 0
+    )
+    if jax.default_backend() == "tpu":
+        from .pallas_rep import rep_codes
+
+        ob = rep_codes(packed_rep[None])[0]
+    else:
+        from .pallas_rep import rep_codes_scan
+
+        ob = rep_codes_scan(packed_rep)
 
     return BlockSequences(ll2, ml2, ob, off2, starts2, nseq2, lits, nlit)

@@ -1,0 +1,158 @@
+"""Segment-local optimal parse (BTOPT-style DP) for levels 16-22.
+
+TPU re-design of the reference's optimal-parse kernels (reference
+src/cuda_zstd_lz77.cu:627 `optimal_parse_kernel`, :897 v2, bit-cost model at
+include/cuda_zstd_lz77.h:201-213 `calculate_match_cost`/`calculate_literal_cost`):
+a STATIC bit-cost model — literals cost a flat per-byte price, a match costs
+a base (symbol + state bits) plus its offset's extra bits plus the match
+length code's extra bits.
+
+Exactness: within a segment the DP is exact over the candidate set (per
+position, the single best (ml, off) from find_matches, takeable at ANY length
+min_match..ml — shortening a match to line up with a cheaper future match is
+what greedy cannot do). Matches are truncated at segment boundaries like the
+greedy path; the same-offset merge pass re-joins them.
+
+    cost[p] = min( LIT + cost[p+1],
+                   min_{l in [mm, ml_p]} mc_p + MLX[l] + cost[p+l] )
+
+Layout matches ops/pallas_greedy.py: segments ride (sublane-group, lane)
+tiles, input transposed to (seg, S); the backward step loop runs in VMEM with
+a cost scratch of seg+cap rows. Packed input per position:
+    ml | ofc << 7          (ml <= 127, ofc = offset extra bits <= 31)
+Output: chosen step per position (1 = literal, else match length), i32.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+I32 = jnp.int32
+LANES = 128
+GB = 8  # sublane group (Mosaic block shapes need sublane multiples of 8)
+
+LIT_BITS = 6        # flat per-literal price (entropy-coded literals)
+MATCH_BASE = 11     # LL+ML+OF symbol + amortized state bits
+BIG = 1 << 24
+
+
+def _mlx(l: int) -> int:
+    """Match-length extra bits for length l (RFC 8878 ML code table shape)."""
+    if l <= 34:
+        return 0
+    if l <= 38:
+        return 1
+    if l <= 46:
+        return 2
+    if l <= 62:
+        return 3
+    return 4
+
+
+def _make_kernel(seg: int, mm: int, cap: int):
+    lengths = list(range(mm, cap + 1))
+    R = cap + 2  # cost ring: slot q%R holds cost[q] for q in [p+1, p+cap+1]
+
+    def kernel(in_ref, out_ref, cost_ref):
+        # Ring slots start at 0 == cost beyond the segment end.
+        cost_ref[...] = jnp.zeros_like(cost_ref)
+
+        def step(i, _):
+            p = seg - 1 - i
+            x = in_ref[p]
+            ml = x & 127
+            mc = MATCH_BASE + ((x >> 7) & 31)
+            best = LIT_BITS + cost_ref[(p + 1) % R]
+            chosen = jnp.ones((GB, LANES), I32)
+            for l in lengths:
+                c = jnp.where(ml >= l, mc + _mlx(l) + cost_ref[(p + l) % R], BIG)
+                take = c < best
+                best = jnp.where(take, c, best)
+                chosen = jnp.where(take, l, chosen)
+            # Slot p%R held cost[p+R] (> p+cap+1: no longer referenced).
+            cost_ref[p % R] = best
+            out_ref[p] = chosen.astype(jnp.uint8)
+            return 0
+
+        jax.lax.fori_loop(0, seg, step, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _opt_impl(packed_t: jax.Array, mm: int, cap: int, interpret: bool):
+    seg, S = packed_t.shape
+    cells = S // (GB * LANES)
+    spec = lambda dt: pl.BlockSpec(  # noqa: E731
+        (seg, GB, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        _make_kernel(seg, mm, cap),
+        out_shape=jax.ShapeDtypeStruct((seg, cells * GB, LANES), jnp.uint8),
+        grid=(cells,),
+        in_specs=[spec(I32)],
+        out_specs=spec(jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((cap + 2, GB, LANES), I32)],
+        interpret=interpret,
+    )(packed_t.reshape(seg, cells * GB, LANES))
+    return out.reshape(seg, S).astype(I32)
+
+
+def _opt_scan(packed: jax.Array, mm: int, cap: int) -> jax.Array:
+    """lax.scan reference DP (backend-independent): packed (S, seg) -> steps."""
+    S, seg = packed.shape
+    x = packed.T  # (seg, S)
+    ml = x & 127
+    mc = MATCH_BASE + ((x >> 7) & 31)
+
+    def step(window, inp):
+        # window[j] = cost[p + 1 + j] for j in [0, cap]
+        ml_p, mc_p = inp
+        best = LIT_BITS + window[0]
+        chosen = jnp.ones((S,), I32)
+        for l in range(mm, cap + 1):
+            c = jnp.where(ml_p >= l, mc_p + _mlx(l) + window[l - 1], BIG)
+            take = c < best
+            best = jnp.where(take, c, best)
+            chosen = jnp.where(take, l, chosen)
+        new_window = jnp.concatenate([best[None], window[:-1]], axis=0)
+        return new_window, chosen
+
+    w0 = jnp.zeros((cap + 1, S), I32)
+    _, steps = jax.lax.scan(step, w0, (ml[::-1], mc[::-1]))
+    return steps[::-1].T  # (S, seg)
+
+
+@functools.lru_cache(maxsize=None)
+def _opt_steps_fn(mm: int, cap: int):
+    @jax.custom_batching.custom_vmap
+    def f(packed: jax.Array) -> jax.Array:
+        S, seg = packed.shape
+        if jax.default_backend() != "tpu":
+            return _opt_scan(packed, mm, cap)
+        TILE = GB * LANES
+        pad = (-S) % TILE
+        if pad:
+            packed = jnp.concatenate([packed, jnp.zeros((pad, seg), I32)], axis=0)
+        out = _opt_impl(packed.T, mm, cap, False).T
+        return out[:S] if pad else out
+
+    @f.def_vmap
+    def _vmap(axis_size, in_batched, packed):
+        if not in_batched[0]:
+            packed = jnp.broadcast_to(packed, (axis_size,) + packed.shape)
+        B, S, seg = packed.shape
+        return f(packed.reshape(B * S, seg)).reshape(B, S, seg), True
+
+    return f
+
+
+def opt_steps(packed: jax.Array, mm: int, cap: int) -> jax.Array:
+    """DP over (S, seg) packed segments -> (S, seg) chosen steps
+    (1 = literal, else take the match at that length)."""
+    return _opt_steps_fn(mm, cap)(packed)

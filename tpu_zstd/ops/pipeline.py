@@ -40,6 +40,7 @@ class PipelineConfig:
     cap: int = 32
     min_match: int = 4
     lazy: bool = True  # 1-step lazy parse (Strategy.LAZY and up)
+    optimal: bool = False  # BTOPT-style segment DP (Strategy.BTOPT and up)
     dict_cap: int = 0  # dictionary-window prefix capacity (0 = no dictionary)
     huffman_literals: bool = True  # compress literals (reference emits Raw only)
     custom_fse: bool = True  # per-block FSE sequence tables (ops/fse_tables_jax.py)
@@ -121,6 +122,7 @@ def _parse_one(block: jax.Array, n: jax.Array, cfg: PipelineConfig, dlen: jax.Ar
         seg_log=cfg.seg_log,
         of_gate=cfg.of_gate,
         mf_win_log=cfg.eff_mf_win_log,
+        optimal=cfg.optimal,
     )
 
 
