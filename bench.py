@@ -119,8 +119,14 @@ def main() -> None:
         assert zstandard.ZstdDecompressor().decompress(
             frames[probe], max_output_size=N
         ) == data[probe * N : (probe + 1) * N]
+    # Bytes gate: the timed decode path must reproduce the corpus exactly
+    # (never time a decoder whose output is unverified).
     out, lens = decompress_batch_to_device(frames, max_block=N)
-    jax.device_get(lens)
+    out_h, lens_h = jax.device_get((out, lens))
+    for i in range(B):
+        assert lens_h[i] == N and out_h[i].tobytes() == data[i * N : (i + 1) * N], (
+            f"device decompression mismatch at frame {i}"
+        )
     dts = []
     for _ in range(3):
         t0 = time.perf_counter()

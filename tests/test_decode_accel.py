@@ -14,11 +14,7 @@ import zstandard
 from tpu_zstd.api.config import CompressionConfig
 from tpu_zstd.api.decompress import decompress_batch_to_device
 from tpu_zstd.api.manager import compress_items_tpu
-from tpu_zstd.format.accel import (
-    FLAG_NO_REPCODES,
-    parse_accel_tail,
-    write_accel_frame,
-)
+from tpu_zstd.format.accel import parse_accel_tail, write_accel_frame
 
 N = 16384
 
@@ -54,17 +50,17 @@ def accel_frames(corpus):
 def test_metadata_roundtrip():
     bits = np.asarray([100, 200, 300], np.uint32)
     states = np.asarray([7 | (9 << 10) | (11 << 20)] * 3, np.uint32)
-    r0s = np.asarray([17, 42, 9000], np.uint32)
+    reps = np.asarray([[17, 42, 9000], [1, 4, 8], [5, 17, 42]], np.uint32)
     frame = write_accel_frame(
-        64, [(777, bits, states, r0s), (0, bits[:0], states[:0], r0s[:0])]
+        64, [(777, bits, states, reps), (0, bits[:0], states[:0], reps[:0])]
     )
     meta, end = parse_accel_tail(b"PREFIX" + frame)
     assert meta is not None and end == 6
-    assert meta.stride == 64 and meta.flags & FLAG_NO_REPCODES
+    assert meta.stride == 64
     assert len(meta.blocks) == 2
     nseq, b, s, r = meta.blocks[0]
     assert nseq == 777 and np.array_equal(b, bits) and np.array_equal(s, states)
-    assert np.array_equal(r, r0s)
+    assert np.array_equal(r, reps)
     assert meta.blocks[1][0] == 0 and len(meta.blocks[1][1]) == 0
     # Not-our-data tails parse as absent, not as errors.
     assert parse_accel_tail(b"")[0] is None

@@ -101,7 +101,14 @@ def test_level19_ratio_not_worse_than_level3():
     from tpu_zstd.api.config import CompressionConfig
     from tpu_zstd.api.manager import compress_items_tpu
 
-    data = (open("/root/repo/SURVEY.md", "rb").read() * 3)[:200_000]
+    import pathlib
+
+    doc = pathlib.Path(__file__).resolve().parent.parent / "SURVEY.md"
+    if not doc.exists():
+        import pytest
+
+        pytest.skip("SURVEY.md corpus not present in this checkout")
+    data = (doc.read_bytes() * 3)[:200_000]
     c3 = compress_items_tpu([data], CompressionConfig.from_level(3))[0]
     c19 = compress_items_tpu([data], CompressionConfig.from_level(19))[0]
     assert len(c19) <= len(c3) * 1.02

@@ -306,7 +306,7 @@ def decompress_batch_to_device(
     """
     import jax.numpy as jnp
 
-    from ..format.accel import FLAG_REP0_ONLY, parse_accel_tail
+    from ..format.accel import parse_accel_tail
     from ..ops.decode_jax import (
         SeqTables,
         decode_sequences_device,
@@ -324,7 +324,7 @@ def decompress_batch_to_device(
     for f in frames:
         meta, frame_end = parse_accel_tail(f)
         rec = None
-        if meta is not None and (meta.flags & FLAG_REP0_ONLY) and len(meta.blocks) == 1:
+        if meta is not None and len(meta.blocks) == 1:
             f = f[:frame_end]
             rec = meta.blocks[0]
             accel_stride = meta.stride if accel_stride in (None, meta.stride) else -1
@@ -395,15 +395,15 @@ def decompress_batch_to_device(
         NC = _bucket(max(max_nc, 1), lo=1)
         ckb = np.zeros((B, max(NC - 1, 1)), np.int32)
         cks = np.zeros((B, max(NC - 1, 1)), np.int32)
-        ckr = np.ones((B, max(NC - 1, 1)), np.int32)
+        ckr = np.ones((B, max(NC - 1, 1), 3), np.int32)
         for i, rec in enumerate(metas):
             if rec is None:
                 continue
-            _, bits_a, st_a, r0_a = rec
+            _, bits_a, st_a, rep_a = rec
             n = min(len(bits_a), NC - 1)
             ckb[i, :n] = bits_a[:n].astype(np.int64).astype(np.int32)
             cks[i, :n] = st_a[:n].astype(np.int64).astype(np.int32)
-            ckr[i, :n] = r0_a[:n].astype(np.int64).astype(np.int32)
+            ckr[i, :n] = rep_a[:n].astype(np.int64).astype(np.int32)
         ll, ml, off, _ = decode_sequences_device_chunked(
             jnp.asarray(streams), jnp.asarray(tbits), tables, jnp.asarray(nseq),
             jnp.asarray(ckb), jnp.asarray(cks), jnp.asarray(ckr), C, NC, MAX_SEQS_DEC,

@@ -37,8 +37,9 @@ def _pipeline_config(cfg: CompressionConfig):
 
     return PipelineConfig(
         block_size=cfg.block_size,
-        # 17 bits keep (hash << mf_win_log | pos) in one i32 sort key; at a
-        # 16 KB window a 17-bit hash is already collision-sparse.
+        # 17 bits keep (hash << (mf_win_log+1) | pos) in one u32 sort key
+        # (17 + 1 + 14 = 32 bits, lz77_jax.py single-key path); at a 16 KB
+        # window a 17-bit hash is already collision-sparse.
         hash_log=min(cfg.hash_log, 17),
         depth=cfg.search_depth,
         cap=cfg.compare_cap,

@@ -246,7 +246,7 @@ def decode_sequences_device_chunked(
     nseq: jax.Array,        # (B,)
     ck_bits: jax.Array,     # (B, NC-?) checkpoint bit cursors (chunk c -> c-1)
     ck_states: jax.Array,   # (B, NC-?) packed ll | of<<10 | ml<<20
-    ck_r0: jax.Array,       # (B, NC-?) rep0 seed (resolved offset of seq j-1)
+    ck_rep: jax.Array,      # (B, NC-?, 3) exact rep triple before the chunk
     stride: int,            # sequences per chunk (accel metadata stride)
     num_chunks: int,        # static chunk count (>= ceil(max nseq / stride))
     max_seqs: int,
@@ -256,15 +256,13 @@ def decode_sequences_device_chunked(
     The serial decoder (decode_sequences_device) walks one bit-serial chain
     per block — fine for huge batches, but a batch of 64 leaves the VPU
     ~entirely idle. With decode-acceleration metadata (format/accel.py) every
-    chunk of `stride` sequences knows its starting bit cursor and FSE states,
-    so the scan runs only `stride` steps over B*num_chunks independent rows —
-    the TPU equivalent of the reference's speculative chunk-parallel FSE
-    decode (reference src/cuda_zstd_fse.cu:2674-3283), but exact instead of
-    speculative.
-
-    Only valid for rep0-only streams (accel flag FLAG_REP0_ONLY: the only
-    repcode a decoder reads is rep0 with ll > 0): each chunk row seeds
-    rep = [checkpoint r0, 4, 8] — rep1/rep2 are never consulted. Returns
+    chunk of `stride` sequences knows its starting bit cursor, FSE states AND
+    the full repeat-offset triple, so the scan runs only `stride` steps over
+    B*num_chunks independent rows — the TPU equivalent of the reference's
+    speculative chunk-parallel FSE decode (reference
+    src/cuda_zstd_fse.cu:2674-3283), but exact instead of speculative, and
+    correct for arbitrary repcode usage (each chunk seeds the decoder's exact
+    rep state, computed at encode time by fse_jax._rep_prefix). Returns
     (ll, ml, off, rep_final) shaped like the serial decoder ((B, max_seqs);
     rep_final is the initial rep — single-shot frames only).
     """
@@ -302,11 +300,13 @@ def decode_sequences_device_chunked(
     ckb = jnp.pad(ck_bits, ((0, 0), (0, max(0, NC - 1 - ck_bits.shape[1]))))[:, : NC - 1]
     cks = jnp.pad(ck_states, ((0, 0), (0, max(0, NC - 1 - ck_states.shape[1]))))[:, : NC - 1]
     ckr = jnp.pad(
-        ck_r0, ((0, 0), (0, max(0, NC - 1 - ck_r0.shape[1]))), constant_values=1
+        ck_rep,
+        ((0, 0), (0, max(0, NC - 1 - ck_rep.shape[1])), (0, 0)),
+        constant_values=1,
     )[:, : NC - 1]
     ckb_r = jnp.pad(ckb, ((0, 0), (1, 0))).reshape(-1)    # record c-1 at cix=c
     cks_r = jnp.pad(cks, ((0, 0), (1, 0))).reshape(-1)
-    ckr_r = jnp.pad(ckr, ((0, 0), (1, 0)), constant_values=1).reshape(-1)
+    ckr_r = jnp.pad(ckr, ((0, 0), (1, 0), (0, 0)), constant_values=1).reshape(-1, 3)
     bits_left = jnp.where(first, bl0[blk], ckb_r.astype(I32))
     st_ll = jnp.where(first, st_ll0[blk], (cks_r & 0x3FF).astype(I32))
     st_of = jnp.where(first, st_of0[blk], ((cks_r >> 10) & 0x3FF).astype(I32))
@@ -402,9 +402,8 @@ def decode_sequences_device_chunked(
         )
         return (bits_left, st_ll, st_of, st_ml, rep), ys
 
-    r0_seed = jnp.where(first, 1, ckr_r.astype(I32))
-    rep0 = jnp.stack(
-        [r0_seed, jnp.full((R,), 4, I32), jnp.full((R,), 8, I32)], axis=1
+    rep0 = jnp.where(
+        first[:, None], jnp.asarray([[1, 4, 8]], I32), ckr_r.astype(I32)
     )
     init = (bits_left, st_ll, st_of, st_ml, rep0)
     _, (o_ll, o_ml, o_off) = jax.lax.scan(

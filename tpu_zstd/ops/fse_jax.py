@@ -496,6 +496,61 @@ def encode_sequences_predefined(
     return out, section_len
 
 
+_REP_SRC_TABLE = np.asarray(
+    [
+        [0, 1, 2],  # inactive / rep0: identity
+        [1, 0, 2],  # rep1 read: [r1, r0, r2]
+        [2, 0, 1],  # rep2 read: [r2, r0, r1]
+        [3, 0, 1],  # insert (literal offset or the r0-1 case): [off, r0, r1]
+    ],
+    np.int32,
+)
+
+
+def _rep_prefix(
+    ob: jax.Array, ll: jax.Array, off: jax.Array, nseq: jax.Array, ms: int
+) -> jax.Array:
+    """Decoder repcode triple BEFORE each decode step (RFC 8878 §3.1.1.5).
+
+    Every sequence's rep update is either a slot permutation (rep0/1/2 reads)
+    or a front insert of a value the encoder already knows (the resolved
+    offset — covering both literal offsets and the ll==0 r0-1 case), so the
+    prefix over decode steps is an associative composition of tiny
+    {permutation | insert} ops: log2(ms) rounds instead of a serial chain.
+    Used for decode-acceleration checkpoints (format/accel.py) — chunk
+    decoders seed the EXACT triple, making chunk-parallel decode correct for
+    arbitrary repcode usage (the reference resolves repcodes in a sequential
+    pre-pass instead, reference src/cuda_zstd_sequence.cu:209).
+
+    ob/ll/off are decode-order (ofv value, literal length, resolved offset).
+    Returns (ms, 3) int32.
+    """
+    t = jnp.arange(ms, dtype=I32)
+    act = t < nseq
+    ob = ob.astype(I32)
+    idx = ob - 1 + (ll.astype(I32) == 0).astype(I32)
+    is_insert = (ob > 3) | ((ob <= 3) & (idx == 3))
+    case = jnp.where(act, jnp.where(is_insert, 3, jnp.clip(idx, 0, 2)), 0)
+    src = jnp.asarray(_REP_SRC_TABLE)[case]  # (ms, 3)
+    const = jnp.broadcast_to(off.astype(I32)[:, None], (ms, 3))
+
+    def combine(a, b):  # a happens first; result = b after a
+        a_src, a_const = a
+        b_src, b_const = b
+        sel = jnp.clip(b_src, 0, 2)
+        g_src = jnp.take_along_axis(a_src, sel, axis=-1)
+        g_const = jnp.take_along_axis(a_const, sel, axis=-1)
+        return (
+            jnp.where(b_src == 3, 3, g_src),
+            jnp.where(b_src == 3, b_const, g_const),
+        )
+
+    ps, pc = jax.lax.associative_scan(combine, (src, const), axis=0)
+    init = jnp.asarray([1, 4, 8], I32)
+    rep_after = jnp.where(ps == 3, pc, init[jnp.clip(ps, 0, 2)])
+    return jnp.concatenate([init[None, :], rep_after[:-1]], axis=0)
+
+
 def prepare_sequences_auto(
     ll: jax.Array, ml: jax.Array, ob: jax.Array, nseq: jax.Array, max_seqs: int,
     off: jax.Array | None = None,
@@ -518,11 +573,10 @@ def prepare_sequences_auto(
     ob = ob.astype(I32)
 
     # Reverse all columns in ONE stacked flip+roll (same shift).
-    cols = [ll, ml, ob] + ([off.astype(I32)] if off is not None else [])
-    stacked = jnp.stack(cols)
+    stacked = jnp.stack([ll, ml, ob])
     rev3 = dynroll(jnp.flip(stacked, axis=-1), (nseq - ms) % ms, ms)
     r_ll, r_ml, r_ob = rev3[0], rev3[1], rev3[2]
-    r_off = rev3[3] if off is not None else None
+    rep_pre = _rep_prefix(ob, ll, off, nseq, ms) if off is not None else None
     r_llc = ll_code_jnp(r_ll)
     r_mlc = ml_code_jnp(r_ml)
     r_ofc = of_code_jnp(r_ob)
@@ -542,7 +596,7 @@ def prepare_sequences_auto(
         "r_ll": r_ll,
         "r_ml": r_ml,
         "r_ob": r_ob,
-        "r_off": r_off,
+        "rep_pre": rep_pre,
         "rsym3": jnp.stack([r_llc, r_ofc, r_mlc]),
         "r_llb": _small_lut(LL_BITS, r_llc),
         "r_mlb": _small_lut(ML_BITS, r_mlc),
@@ -631,12 +685,15 @@ def encode_prepared(
             st3_at[0] | (st3_at[1] << 10) | (st3_at[2] << 20),
             0,
         )
-        # r0 at the chunk boundary = resolved offset of the previous decoded
-        # sequence (the only repcode slot our rep0-only encoder makes a
-        # decoder read; parse_block emits ofv=1 strictly with ll>0).
-        ck_r0 = jnp.where(ck_valid, jnp.take(prep["r_off"][:msb], ti), 1)
+        # Exact decoder rep triple before decode step c*C (prepare's
+        # associative rep-prefix scan) — chunk decoders seed all three slots,
+        # so any rep0/rep1/rep2/ll==0 usage decodes correctly chunk-parallel.
+        j_idx = jnp.clip(c_ar * C, 0, prep["rep_pre"].shape[0] - 1)
+        ck_rep = jnp.where(
+            ck_valid[:, None], jnp.take(prep["rep_pre"], j_idx, axis=0), 1
+        )
     else:
-        ck_bits = ck_states = ck_r0 = None
+        ck_bits = ck_states = ck_rep = None
 
     has = (nseq > 0).astype(I32)
     tl_l, tl_o, tl_m = prep["tl3"][0], prep["tl3"][1], prep["tl3"][2]
@@ -686,7 +743,7 @@ def encode_prepared(
     out = out + place(stream, has * stream_bytes, hdr_total, CAP, 2048)
     section_len = hdr_total + has * stream_bytes
     if ckpt_every:
-        return out, section_len, ck_bits, ck_states, ck_r0
+        return out, section_len, ck_bits, ck_states, ck_rep
     return out, section_len
 
 

@@ -106,10 +106,16 @@ def _make_kernel(rc: int):
 
 @functools.partial(jax.jit, static_argnums=(1,))
 def _rep_impl(packed_t: jax.Array, interpret: bool):
-    rows, S = packed_t.shape
+    rows0, S = packed_t.shape
     cells = S // (GB * LANES)
-    rc = min(RC, rows)
-    assert rows % rc == 0
+    rc = min(RC, rows0)
+    rows = rows0
+    if rows % rc:  # pad to a whole row chunk; pad rows carry valid=0 no-ops
+        pad = rc - rows % rc
+        packed_t = jnp.concatenate(
+            [packed_t, jnp.zeros((pad, S), I32)], axis=0
+        )
+        rows += pad
     spec = pl.BlockSpec(
         (rc, GB, LANES), lambda c, r: (r, c, 0), memory_space=pltpu.VMEM
     )
@@ -124,7 +130,7 @@ def _rep_impl(packed_t: jax.Array, interpret: bool):
         scratch_shapes=[pltpu.VMEM((6, GB, LANES), I32)],
         interpret=interpret,
     )(packed_t.reshape(rows, cells * GB, LANES))
-    return out.reshape(rows, S)
+    return out.reshape(rows, S)[:rows0]
 
 
 @jax.custom_batching.custom_vmap

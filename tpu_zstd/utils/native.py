@@ -15,6 +15,11 @@ import threading
 
 import numpy as np
 
+try:
+    import fcntl
+except ImportError:  # non-POSIX: fall back to thread-lock-only builds
+    fcntl = None
+
 _CSRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "csrc")
 _SRC = os.path.join(_CSRC, "tpu_zstd_native.cpp")
 _LIB = os.path.join(_CSRC, "build", "libtpu_zstd_native.so")
@@ -25,15 +30,48 @@ _tried = False
 
 
 def _build() -> bool:
+    # Compile to a private temp path, then atomically rename into place:
+    # a concurrent process that already dlopen-mapped the old library keeps
+    # its (unlinked) inode, and no process can ever load a half-written file.
     os.makedirs(os.path.dirname(_LIB), exist_ok=True)
+    tmp = f"{_LIB}.tmp.{os.getpid()}"
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _LIB],
+            ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", tmp],
             check=True, capture_output=True, timeout=120,
         )
+        os.replace(tmp, _LIB)
         return True
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
+
+
+def _ensure_built() -> bool:
+    """Stale-check + build under a cross-process file lock (parallel pytest
+    workers must not race g++ against each other — a thread lock alone lets
+    two PROCESSES rebuild/load the .so mid-write, observed as a worker
+    segfault under `pytest -n 4`)."""
+    if not os.path.exists(_SRC):
+        return False
+
+    def stale() -> bool:
+        return not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
+
+    if not stale():
+        return True
+    if fcntl is None:
+        return _build()
+    os.makedirs(os.path.dirname(_LIB), exist_ok=True)
+    with open(f"{_LIB}.lock", "w") as lf:
+        fcntl.flock(lf, fcntl.LOCK_EX)
+        try:
+            return (not stale()) or _build()
+        finally:
+            fcntl.flock(lf, fcntl.LOCK_UN)
 
 
 def get_native() -> ctypes.CDLL | None:
@@ -43,9 +81,8 @@ def get_native() -> ctypes.CDLL | None:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
-            if not os.path.exists(_SRC) or not _build():
-                return None
+        if not _ensure_built():
+            return None
         try:
             lib = ctypes.CDLL(_LIB)
         except OSError:
