@@ -144,6 +144,46 @@ def test_hybrid_routing(corpus):
     assert eng_forced.decompress(c2) == small
 
 
+def test_hybrid_decompress_routing(corpus):
+    """Decode-accelerated frames route decompression to the TPU path
+    (reference hybrid.cu:278-327 device-decompress routing); FORCE modes and
+    non-accel small frames behave as before."""
+    from dataclasses import replace
+
+    from tpu_zstd.api.config import CompressionConfig
+    from tpu_zstd.api.manager import compress_items_tpu
+
+    data = corpus["text"]
+    cfg = replace(
+        CompressionConfig.from_level(3), block_size=4096, hash_log=13,
+        decode_accel=True,
+    )
+    frame = compress_items_tpu([data], cfg)[0]
+
+    eng = HybridEngine(HybridConfig(mode=RoutingMode.AUTO), compression=SMALL)
+    res = HybridResult()
+    out = eng.decompress(frame, result=res)
+    assert out == data
+    assert res.backend == tpu_zstd.Backend.TPU_KERNELS
+    assert "TPU" in res.routing_reason
+
+    eng_cpu = HybridEngine(HybridConfig(mode=RoutingMode.FORCE_CPU), compression=SMALL)
+    res2 = HybridResult()
+    assert eng_cpu.decompress(frame, result=res2) == data
+    assert res2.backend == tpu_zstd.Backend.CPU_LIBZSTD
+
+    # batch route (multi-block frames take the general TPU decoder)
+    outs = eng.decompress_batch([frame])
+    assert outs == [data]
+
+    # device-resident inference route needs single-block frames
+    small = data[:4000]
+    sframe = compress_items_tpu([small], cfg)[0]
+    dev_out, dev_lens = eng.decompress_to_device([sframe], max_block=4096)
+    assert int(np.asarray(dev_lens)[0]) == len(small)
+    assert bytes(np.asarray(dev_out)[0][: len(small)]) == small
+
+
 def test_hybrid_numpy_input(dctx):
     arr = np.arange(5000, dtype=np.uint8) % 64
     eng = HybridEngine(compression=SMALL)

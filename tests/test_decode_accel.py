@@ -51,17 +51,21 @@ def test_metadata_roundtrip():
     bits = np.asarray([100, 200, 300], np.uint32)
     states = np.asarray([7 | (9 << 10) | (11 << 20)] * 3, np.uint32)
     reps = np.asarray([[17, 42, 9000], [1, 4, 8], [5, 17, 42]], np.uint32)
+    lit_ck = np.arange(8, dtype=np.uint32).reshape(4, 2) * 1000
     frame = write_accel_frame(
-        64, [(777, bits, states, reps), (0, bits[:0], states[:0], reps[:0])]
+        64,
+        [(777, bits, states, reps, lit_ck), (0, bits[:0], states[:0], reps[:0])],
     )
     meta, end = parse_accel_tail(b"PREFIX" + frame)
     assert meta is not None and end == 6
     assert meta.stride == 64
     assert len(meta.blocks) == 2
-    nseq, b, s, r = meta.blocks[0]
+    nseq, b, s, r, lc = meta.blocks[0]
     assert nseq == 777 and np.array_equal(b, bits) and np.array_equal(s, states)
     assert np.array_equal(r, reps)
+    assert np.array_equal(lc, lit_ck)
     assert meta.blocks[1][0] == 0 and len(meta.blocks[1][1]) == 0
+    assert meta.blocks[1][4].shape == (4, 0)
     # Not-our-data tails parse as absent, not as errors.
     assert parse_accel_tail(b"")[0] is None
     assert parse_accel_tail(b"\x00" * 40)[0] is None
@@ -84,6 +88,68 @@ def test_chunked_device_decode_bit_exact(corpus, accel_frames):
     for i, item in enumerate(corpus):
         assert lens[i] == len(item)
         assert bytes(out[i][: len(item)]) == item
+
+
+def test_device_huffman_literal_decode():
+    """4-stream Huffman literals decode fully on device from published
+    cursors (no host literal decode, no decoded-literal upload)."""
+    N = 65536
+    rng = np.random.default_rng(3)
+    item = bytearray(rng.integers(97, 123, N, dtype=np.uint8).tobytes())
+    for k in range(0, N - 64, 4096):
+        item[k : k + 32] = item[0:32]
+    item = bytes(item)
+    cfg = replace(CompressionConfig.from_level(3), block_size=N, decode_accel=True)
+    frames = compress_items_tpu([item], cfg)
+    meta, _ = parse_accel_tail(frames[0])
+    assert meta.blocks[0][4].shape[0] == 4 and meta.blocks[0][4].shape[1] > 0
+    assert zstandard.ZstdDecompressor().decompress(frames[0], max_output_size=N) == item
+    out, lens = decompress_batch_to_device(frames, max_block=N)
+    assert np.asarray(lens)[0] == len(item)
+    assert bytes(np.asarray(out)[0][: len(item)]) == item
+
+
+def test_device_huffman_kernel_vs_host():
+    """decode_huffman_device matches the host stream decoder symbol-for-
+    symbol, including the zero-padded peeks near the stream start."""
+    import jax.numpy as jnp
+
+    from tpu_zstd.format import huffman as huf
+    from tpu_zstd.ops.decode_jax import decode_huffman_device
+
+    rng = np.random.default_rng(11)
+    data = rng.integers(0, 40, 3000, dtype=np.uint8).tobytes()
+    freqs = np.bincount(np.frombuffer(data, np.uint8), minlength=256).astype(np.int64)
+    ct = huf.build_ctable(freqs)
+    enc = huf.encode_stream(data, ct)
+    weights, _ = huf.parse_weights(ct.header)
+    dt = huf.build_dtable(weights)
+    packed = np.zeros((1, 2048), np.int32)
+    packed[0, : 1 << dt.table_log] = (dt.symbol << 4) | dt.nb_bits
+    sentinel = enc[-1].bit_length() - 1
+    tbits = (len(enc) - 1) * 8 + sentinel
+    C = 64
+    NCL = -(-len(data) // C)
+    # cursors: bits_left before forward symbol c*C
+    lens_per = ct.lengths[np.frombuffer(data, np.uint8)]
+    cume = np.concatenate([[0], np.cumsum(lens_per)])
+    cks = np.asarray(
+        [tbits - cume[c * C] for c in range(1, NCL)], np.int32
+    )[None, :]
+    streams = np.zeros((4, 4096), np.uint8)
+    streams[0, : len(enc)] = np.frombuffer(enc, np.uint8)
+    syms = decode_huffman_device(
+        jnp.asarray(streams),
+        jnp.asarray([tbits, 0, 0, 0], np.int32),
+        jnp.asarray(packed),
+        jnp.asarray([dt.table_log], np.int32),
+        jnp.asarray([len(data), 0, 0, 0], np.int32),
+        C,
+        NCL,
+        jnp.asarray(np.concatenate([cks, np.zeros((3, NCL - 1), np.int32)])),
+    )
+    got = bytes(np.asarray(syms)[0][: len(data)])
+    assert got == data
 
 
 def test_serial_path_unchanged(corpus):

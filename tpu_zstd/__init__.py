@@ -31,6 +31,7 @@ from .api import (
     RoutingMode,
     Status,
     Strategy,
+    StreamingDecompressor,
     StreamingManager,
     estimate_compressed_size,
 )

@@ -25,6 +25,7 @@ from .manager import (
     BatchItem,
     BatchManager,
     Manager,
+    StreamingDecompressor,
     StreamingManager,
     compress_items_tpu,
 )
@@ -45,6 +46,7 @@ __all__ = [
     "RoutingMode",
     "Status",
     "Strategy",
+    "StreamingDecompressor",
     "StreamingManager",
     "compress_items_tpu",
     "detect_location",

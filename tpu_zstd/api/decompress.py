@@ -5,11 +5,11 @@ Counterpart of the reference's decompress stack driver
 with Raw/RLE/Compressed handling, literals :4981, sequences :5106 with
 Predefined/RLE/FSE/Repeat table modes and prev-table persistence
 :5227-5265). Section headers and entropy TABLES are parsed/built on the host
-(they are tiny); the bulk bit-serial sequence decode and the full sequence
-execution run on device (ops/decode_jax.py). Huffman literal payloads are
-currently decoded by the host format layer (the device-side speculative
-4-stream decoder is future work — the reference's equivalent is
-huffman.cu:2204).
+(they are tiny); the bulk bit-serial sequence decode, 4-stream Huffman
+literal decode (chunk-parallel from encoder-published cursors — the
+counterpart of the reference's GPU decoder, huffman.cu:1676/2204), and the
+full sequence execution run on device (ops/decode_jax.py). Frames without
+decode-acceleration metadata fall back to host literal decode.
 
 Blocks at the same index across frames decode as one device batch; the
 decoded window and repcode state carry to the next block index (RFC 8878
@@ -71,15 +71,74 @@ def _pick_executor(buf_bytes: int = 0):
 class _BlockPlan:
     """Host-parsed decode plan for one Compressed block."""
 
-    __slots__ = ("lits", "nlit", "stream", "total_bits", "tables", "nbseq")
+    __slots__ = ("lits", "nlit", "stream", "total_bits", "tables", "nbseq", "litdev")
 
-    def __init__(self, lits, nlit, stream, total_bits, tables, nbseq):
+    def __init__(self, lits, nlit, stream, total_bits, tables, nbseq, litdev=None):
         self.lits = lits
         self.nlit = nlit
         self.stream = stream
         self.total_bits = total_bits
         self.tables = tables  # (sym, nb, ns, logs) numpy or None when nbseq==0
         self.nbseq = nbseq
+        # Device-literal info when Huffman literals decode ON DEVICE:
+        # (streams[4] bytes, tbits[4], nsym[4], dtable_packed (2048,) i32,
+        #  table_log, regen) — self.lits is then b"" and nlit == regen.
+        self.litdev = litdev
+
+
+def _parse_litdev(body: bytes) -> tuple | None:
+    """Parse a 4-stream Compressed-literals section WITHOUT decoding.
+
+    Returns (litdev tuple, consumed, regen) when the section is device-
+    decodable (4-stream Huffman with its own table), else None (caller runs
+    the host decode)."""
+    from ..format import huffman as huf
+
+    b0 = body[0]
+    lit_type = b0 & 3
+    size_format = (b0 >> 2) & 3
+    if lit_type != 2 or size_format == 0:  # only Compressed_Literals, 4-stream
+        return None
+    if size_format == 1:
+        v = int.from_bytes(body[:3], "little")
+        regen, comp, pos = (v >> 4) & 0x3FF, (v >> 14) & 0x3FF, 3
+    elif size_format == 2:
+        v = int.from_bytes(body[:4], "little")
+        regen, comp, pos = (v >> 4) & 0x3FFF, (v >> 18) & 0x3FFF, 4
+    else:
+        v = int.from_bytes(body[:5], "little")
+        regen, comp, pos = (v >> 4) & 0x3FFFF, (v >> 22) & 0x3FFFF, 5
+    payload = body[pos : pos + comp]
+    weights, consumed = huf.parse_weights(payload)
+    dt = huf.build_dtable(weights)
+    payload = payload[consumed:]
+    if len(payload) < 6:
+        return None
+    s1 = int.from_bytes(payload[0:2], "little")
+    s2 = int.from_bytes(payload[2:4], "little")
+    s3 = int.from_bytes(payload[4:6], "little")
+    sbody = payload[6:]
+    s4 = len(sbody) - s1 - s2 - s3
+    if s4 <= 0:
+        return None
+    seg = (regen + 3) // 4
+    nsym = [seg, seg, seg, regen - 3 * seg]
+    if nsym[3] <= 0:
+        return None
+    offs = [0, s1, s1 + s2, s1 + s2 + s3]
+    sizes = [s1, s2, s3, s4]
+    streams, tbits = [], []
+    for o, sz in zip(offs, sizes):
+        chunk = sbody[o : o + sz]
+        if not chunk or chunk[-1] == 0:
+            return None
+        sentinel = chunk[-1].bit_length() - 1
+        streams.append(chunk)
+        tbits.append((len(chunk) - 1) * 8 + sentinel)
+    packed = np.zeros(2048, np.int32)
+    size = 1 << dt.table_log
+    packed[:size] = (dt.symbol.astype(np.int32) << 4) | dt.nb_bits.astype(np.int32)
+    return (streams, tbits, nsym, packed, dt.table_log, regen), pos + comp, regen
 
 
 def _dense_tables(dts) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -97,13 +156,37 @@ def _dense_tables(dts) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
 
 
 def _parse_block_plan(
-    body: bytes, prev_tables: SeqDecodeTables | None, prev_huf
+    body: bytes,
+    prev_tables: SeqDecodeTables | None,
+    prev_huf,
+    device_literals: bool = False,
 ) -> tuple[_BlockPlan, SeqDecodeTables | None, object]:
-    lit = decode_literals_section(body, prev_huf)
+    litdev = None
+    if device_literals:
+        parsed = _parse_litdev(body)
+        if parsed is not None:
+            litdev, consumed, regen = parsed
+
+    class _L:
+        pass
+
+    if litdev is not None:
+        lit = _L()
+        lit.data = b""
+        lit.consumed = consumed
+        lit.huff_table = prev_huf
+        nlit_val = litdev[5]
+    else:
+        lit = decode_literals_section(body, prev_huf)
+        nlit_val = len(lit.data)
     rest = body[lit.consumed :]
     nbseq, pos = read_nbseq(rest)
     if nbseq == 0:
-        return _BlockPlan(lit.data, len(lit.data), b"", 0, None, 0), prev_tables, lit.huff_table
+        return (
+            _BlockPlan(lit.data, nlit_val, b"", 0, None, 0, litdev),
+            prev_tables,
+            lit.huff_table,
+        )
     modes = rest[pos]
     pos += 1
     ll_mode = (modes >> 6) & 3
@@ -130,7 +213,8 @@ def _parse_block_plan(
     sentinel = stream[-1].bit_length() - 1
     total_bits = (len(stream) - 1) * 8 + sentinel
     plan = _BlockPlan(
-        lit.data, len(lit.data), stream, total_bits, _dense_tables((dt_ll, dt_of, dt_ml)), nbseq
+        lit.data, nlit_val, stream, total_bits,
+        _dense_tables((dt_ll, dt_of, dt_ml)), nbseq, litdev,
     )
     return plan, SeqDecodeTables(dt_ll, dt_of, dt_ml), lit.huff_table
 
@@ -319,8 +403,10 @@ def decompress_batch_to_device(
     nf = len(frames)
     plans: list[_BlockPlan | None] = []
     raws: list[bytes | None] = []
-    metas: list = []  # per frame: (nseq, bits, states) or None
+    bodies: list[bytes | None] = []
+    metas: list = []  # per frame: accel block record or None
     accel_stride = None
+    lit_stride = None
     for f in frames:
         meta, frame_end = parse_accel_tail(f)
         rec = None
@@ -328,6 +414,9 @@ def decompress_batch_to_device(
             f = f[:frame_end]
             rec = meta.blocks[0]
             accel_stride = meta.stride if accel_stride in (None, meta.stride) else -1
+            lit_stride = (
+                meta.lit_stride if lit_stride in (None, meta.lit_stride) else -1
+            )
         elif meta is not None:
             f = f[:frame_end]
         hdr = parse_frame_header(f)
@@ -340,15 +429,18 @@ def decompress_batch_to_device(
         if btype == BLOCK_RAW:
             plans.append(None)
             raws.append(body)
+            bodies.append(None)
             metas.append(None)
         elif btype == BLOCK_RLE:
             plans.append(None)
             raws.append(body[:1] * bsize)
+            bodies.append(None)
             metas.append(None)
         else:
-            plan, _, _ = _parse_block_plan(body, None, None)
+            plan, _, _ = _parse_block_plan(body, None, None, device_literals=rec is not None)
             plans.append(plan)
             raws.append(None)
+            bodies.append(body)
             metas.append(rec)
     # Chunk-parallel decode only when every compressed block has checkpoints
     # at one common stride.
@@ -362,6 +454,30 @@ def decompress_batch_to_device(
     swidth = _bucket(
         max(max((len(p.stream) for p in plans if p is not None), default=1), 64), lo=64
     )
+    # Device-literal eligibility: a litdev parse AND enough checkpoint
+    # records for its chunk count (records cover ceil(seg/stride)-1 chunks
+    # by construction; seg <= stride needs none).
+    C = accel_stride if (accel_stride and accel_stride > 0) else 0
+    CL = lit_stride if (lit_stride and lit_stride > 0) else 0
+    litdev_idx = []
+    if C and CL:
+        for i, p in enumerate(plans):
+            if p is None or p.litdev is None or metas[i] is None:
+                continue
+            seg = (p.litdev[5] + 3) // 4
+            if metas[i][4].shape[1] >= max(0, -(-seg // CL) - 1):
+                litdev_idx.append(i)
+    litdev_set = set(litdev_idx)
+
+    # Host-literal width is trimmed to the widest NON-device literal run —
+    # with device Huffman literals the decoded bytes never cross the host
+    # link at all (the 30-40 MB/s tunnel made that upload the dominant cost).
+    host_lit_max = max(
+        [len(raws[i]) for i in range(nf) if plans[i] is None]
+        + [plans[i].nlit for i in range(nf) if plans[i] is not None and i not in litdev_set]
+        + [1]
+    )
+    lit_w = min(_bucket(max(host_lit_max, 64), lo=64), max_block)
     streams = np.zeros((B, swidth), np.uint8)
     tbits = np.zeros(B, np.int32)
     sym = np.zeros((B, 3, TSIZE_MAX), np.int32)
@@ -369,7 +485,7 @@ def decompress_batch_to_device(
     ns = np.zeros((B, 3, TSIZE_MAX), np.int32)
     logs = np.zeros((B, 3), np.int32)
     nseq = np.zeros(B, np.int32)
-    lits = np.zeros((B, max_block), np.uint8)
+    lits = np.zeros((B, lit_w), np.uint8)
     nlit = np.zeros(B, np.int32)
     for i, p in enumerate(plans):
         if p is None:
@@ -381,14 +497,17 @@ def decompress_batch_to_device(
         streams[i, : len(p.stream)] = np.frombuffer(p.stream, np.uint8)
         tbits[i] = p.total_bits
         nseq[i] = p.nbseq
-        lits[i, : p.nlit] = np.frombuffer(p.lits, np.uint8)
         nlit[i] = p.nlit
+        if i not in litdev_set:
+            if p.litdev is not None:
+                # Parsed lazily but no usable checkpoints: host-decode now.
+                p.lits = decode_literals_section(bodies[i], None).data
+            lits[i, : p.nlit] = np.frombuffer(p.lits, np.uint8)
         if p.tables is not None:
             sym[i], nb[i], ns[i], logs[i] = p.tables
 
     tables = SeqTables(jnp.asarray(sym), jnp.asarray(nb), jnp.asarray(ns), jnp.asarray(logs))
     if use_accel:
-        C = accel_stride
         max_nc = max(
             (-(-int(nseq[i]) // C) for i in range(nf) if plans[i] is not None), default=1
         )
@@ -399,7 +518,7 @@ def decompress_batch_to_device(
         for i, rec in enumerate(metas):
             if rec is None:
                 continue
-            _, bits_a, st_a, rep_a = rec
+            bits_a, st_a, rep_a = rec[1], rec[2], rec[3]
             n = min(len(bits_a), NC - 1)
             ckb[i, :n] = bits_a[:n].astype(np.int64).astype(np.int32)
             cks[i, :n] = st_a[:n].astype(np.int64).astype(np.int32)
@@ -414,8 +533,66 @@ def decompress_batch_to_device(
             jnp.asarray(streams), jnp.asarray(tbits), tables,
             jnp.asarray(nseq), jnp.asarray(rep0), MAX_SEQS_DEC,
         )
+
+    lits_j = jnp.asarray(lits)
+    if lit_w < max_block:
+        lits_j = jnp.pad(lits_j, ((0, 0), (0, max_block - lit_w)))
+    if litdev_idx:
+        # Device 4-stream Huffman literal decode (chunk-parallel from
+        # encoder-published cursors) replaces the host decode + 1 byte/lit
+        # upload for every eligible block.
+        from ..ops.decode_jax import (
+            assemble_literals_4stream,
+            decode_huffman_device,
+        )
+
+        R0 = B * 4
+        lsw = _bucket(
+            max(
+                max(
+                    len(s)
+                    for i in litdev_idx
+                    for s in plans[i].litdev[0]
+                ),
+                64,
+            ),
+            lo=64,
+        )
+        max_sym = max(max(plans[i].litdev[2]) for i in litdev_idx)
+        NCL = _bucket(max(-(-max_sym // CL), 1), lo=1)
+        lstreams = np.zeros((R0, lsw), np.uint8)
+        ltbits = np.zeros(R0, np.int32)
+        lnsym = np.zeros(R0, np.int32)
+        dtab = np.zeros((B, 2048), np.uint16)
+        tlog = np.zeros(B, np.int32)
+        lck = np.zeros((R0, max(NCL - 1, 1)), np.int32)
+        regen = np.zeros(B, np.int32)
+        dev_mask = np.zeros(B, bool)
+        for i in litdev_idx:
+            sts, tb, nsy, packed, tl_b, rg = plans[i].litdev
+            dev_mask[i] = True
+            dtab[i] = packed.astype(np.uint16)
+            tlog[i] = tl_b
+            regen[i] = rg
+            lc = metas[i][4]
+            for s in range(4):
+                r = i * 4 + s
+                lstreams[r, : len(sts[s])] = np.frombuffer(sts[s], np.uint8)
+                ltbits[r] = tb[s]
+                lnsym[r] = nsy[s]
+                n = min(lc.shape[1], NCL - 1)
+                if n:
+                    lck[r, :n] = lc[s, :n].astype(np.int64).astype(np.int32)
+        syms = decode_huffman_device(
+            jnp.asarray(lstreams), jnp.asarray(ltbits),
+            jnp.asarray(dtab).astype(jnp.int32), jnp.asarray(tlog),
+            jnp.asarray(lnsym), CL, NCL, jnp.asarray(lck),
+        )
+        lits_dev = assemble_literals_4stream(syms, jnp.asarray(regen), max_block)
+        lits_j = jnp.where(jnp.asarray(dev_mask)[:, None], lits_dev, lits_j)
+
     out, out_len = execute_sequences(
-        jnp.asarray(lits), jnp.asarray(nlit), ll, ml, off,
+        lits_j, jnp.asarray(nlit), ll, ml, off,
         jnp.asarray(nseq), jnp.zeros((B, 1), jnp.uint8), max_block, 1,
     )
     return out[:nf], out_len[:nf]

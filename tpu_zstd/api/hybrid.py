@@ -99,7 +99,10 @@ class HybridEngine:
         }
 
     # -- routing --------------------------------------------------------------
-    def decide_route(self, size: int, location: DataLocation, is_compress: bool) -> tuple[Backend, str]:
+    def decide_route(
+        self, size: int, location: DataLocation, is_compress: bool,
+        accel: bool = False,
+    ) -> tuple[Backend, str]:
         mode = self.config.mode
         if mode == RoutingMode.FORCE_CPU:
             return Backend.CPU_LIBZSTD, "forced CPU"
@@ -117,6 +120,8 @@ class HybridEngine:
             if size >= self.config.tpu_device_threshold:
                 return Backend.TPU_KERNELS, "device-resident data stays on TPU"
             return Backend.TPU_KERNELS, "device-resident small data (avoid transfer)"
+        if not is_compress and accel:
+            return Backend.TPU_KERNELS, "decode-accelerated frame: TPU chunk-parallel decode"
         if size >= self.config.tpu_batch_threshold:
             return Backend.TPU_KERNELS, "large host buffer: TPU batch path"
         return Backend.CPU_LIBZSTD, "small host buffer: CPU faster than transfer"
@@ -149,16 +154,33 @@ class HybridEngine:
 
     def decompress(self, data, max_output_size: int | None = None,
                    result: HybridResult | None = None) -> bytes:
+        """Routed decompression (reference hybrid.cu:278-327 routes GPU
+        decompress for device-resident/small-device data; here the TPU path
+        takes decode-accelerated frames — whose literals and sequences decode
+        chunk-parallel on device — and large host frames, with libzstd as the
+        default host route and the fallback)."""
         res = result if result is not None else HybridResult()
         t0 = time.perf_counter()
+        loc = detect_location(data)
         raw = _to_bytes(data)
-        backend, reason = Backend.CPU_LIBZSTD, "decompress: CPU path"
-        from .manager import _decompress_host
+        backend, reason = self.decide_route(
+            len(raw), loc, False, accel=_has_accel_meta(raw)
+        )
+        out = None
+        if backend == Backend.TPU_KERNELS:
+            try:
+                out = self._tpu_decompress(raw)
+            except Exception:
+                backend, reason = Backend.CPU_LIBZSTD, "TPU decode failed: CPU fallback"
+        if out is None:
+            from .manager import _decompress_host
 
-        out = _decompress_host(raw, max_output_size)
+            out = _decompress_host(raw, max_output_size)
         res.backend, res.routing_reason = backend, reason
         res.total_time_s = res.compute_time_s = time.perf_counter() - t0
         res.input_size, res.output_size = len(raw), len(out)
+        if self.config.enable_profiling and res.total_time_s > 0:
+            self._history[backend].append(len(out) / res.total_time_s / 1e6)
         return out
 
     def compress_batch(self, items: list) -> list[bytes]:
@@ -171,6 +193,31 @@ class HybridEngine:
             return compress_items_tpu(raws, self.compression)
         return [self._cpu_compress(r) for r in raws]
 
+    def decompress_batch(self, items: list) -> list[bytes]:
+        """Batched routed decompression: accel-metadata frames decode on the
+        TPU as one batch; the rest take the CPU route."""
+        raws = [_to_bytes(d) for d in items]
+        total = sum(len(r) for r in raws)
+        accel = all(_has_accel_meta(r) for r in raws) if raws else False
+        backend, _ = self.decide_route(total, DataLocation.HOST, False, accel=accel)
+        if backend == Backend.TPU_KERNELS:
+            try:
+                from .decompress import decompress_batch_tpu
+
+                return decompress_batch_tpu(raws)
+            except Exception:
+                pass
+        from .manager import _decompress_host
+
+        return [_decompress_host(r, None) for r in raws]
+
+    def decompress_to_device(self, items: list, max_block: int = 128 * 1024):
+        """Inference route: decompress a batch straight into device-resident
+        arrays (reference inference API manager.h:193-273). Always TPU."""
+        from .decompress import decompress_batch_to_device
+
+        return decompress_batch_to_device([_to_bytes(d) for d in items], max_block)
+
     # -- backends -------------------------------------------------------------
     def _cpu_compress(self, data: bytes) -> bytes:
         import zstandard
@@ -182,6 +229,27 @@ class HybridEngine:
         from .manager import compress_items_tpu
 
         return compress_items_tpu([data], self.compression)[0]
+
+    def _tpu_decompress(self, raw: bytes) -> bytes:
+        """Single-block accel frames take the fully-device chunk-parallel
+        decoder; anything else the general TPU block-batch decoder."""
+        from .decompress import decompress_batch_to_device, decompress_batch_tpu
+
+        try:
+            out, lens = decompress_batch_to_device([raw])
+            return bytes(np.asarray(out)[0][: int(np.asarray(lens)[0])])
+        except ValueError:
+            return decompress_batch_tpu([raw])[0]
+
+
+def _has_accel_meta(frame: bytes) -> bool:
+    """True when the frame carries decode-acceleration checkpoints."""
+    try:
+        from ..format.accel import parse_accel_tail
+
+        return parse_accel_tail(frame)[0] is not None
+    except Exception:
+        return False
 
 
 def _to_bytes(data) -> bytes:

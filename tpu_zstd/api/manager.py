@@ -279,16 +279,34 @@ def compress_items_tpu(
         ckb, cks, ckr = jax.device_get(
             (out[3][:, :mx_ck], out[4][:, :mx_ck], out[5][:, :mx_ck])
         )
+        has_lit_ck = pcfg.huffman_literals and len(out) > 9
+        CL = pcfg.lit_ckpt_every
+        if has_lit_ck:
+            # Literal checkpoints: per-stream records cover ceil(nlit/4)
+            # forward symbols in chunks of CL (record c-1 -> symbol c*CL).
+            lit_used_h, nlit_h = jax.device_get((out[8], out[9]))
+            seg_h = -(-nlit_h // 4)
+            nckl = np.where(lit_used_h, np.maximum(-(-seg_h // CL) - 1, 0), 0)
+            mx_ckl = int(nckl[:B].max()) if B else 0
+            lck = jax.device_get(out[7][:, :, :mx_ckl]) if mx_ckl else None
         e = np.empty(0, np.uint32)
+        el = np.zeros((4, 0), np.uint32)
         for first, nb in spans:
             recs = []
             for b in range(first, first + nb):
                 if btypes[b] == BLOCK_COMPRESSED and nseq_h[b] > 0:
                     n = int(nck[b])
-                    recs.append((int(nseq_h[b]), ckb[b, :n], cks[b, :n], ckr[b, :n]))
+                    lc = (
+                        lck[b, :, : int(nckl[b])]
+                        if has_lit_ck and lck is not None and nckl[b] > 0
+                        else el
+                    )
+                    recs.append(
+                        (int(nseq_h[b]), ckb[b, :n], cks[b, :n], ckr[b, :n], lc)
+                    )
                 else:
-                    recs.append((0, e, e, e))
-            accel_meta.append(write_accel_frame(C, recs))
+                    recs.append((0, e, e, e, el))
+            accel_meta.append(write_accel_frame(C, recs, lit_stride=CL))
     else:
         clens, btypes = jax.device_get((out[1], out[2]))
     nonraw = btypes[:B] != BLOCK_RAW if B else np.zeros(0, bool)
@@ -570,6 +588,174 @@ class StreamingManager:
             out += content_checksum(bytes(self._hasher_data)).to_bytes(4, "little")
         self._finished = True
         return bytes(out)
+
+    # -- decompress half (reference manager.h:300-352 has both directions on
+    # -- the one streaming manager) -------------------------------------------
+    def decompress_chunk(self, data: bytes) -> bytes:
+        """Incremental decode of a compressed stream; see StreamingDecompressor."""
+        if not hasattr(self, "_dec") or self._dec is None:
+            self._dec = StreamingDecompressor()
+        return self._dec.decompress_chunk(data)
+
+    def decompress_flush(self) -> bytes:
+        if getattr(self, "_dec", None) is None:
+            return b""
+        return self._dec.flush()
+
+    def decompress_reset(self) -> None:
+        if getattr(self, "_dec", None) is not None:
+            self._dec.reset()
+
+
+class StreamingDecompressor:
+    """Incremental frame decoder — the decompress half of streaming
+    (reference ZstdStreamingManager::decompress_chunk + reset/flush,
+    include/cuda_zstd_manager.h:300-352, impl manager.cu:6043-6456).
+
+    Feed ARBITRARY byte chunks; decoded bytes come back as soon as whole
+    blocks are available. Window history, repcodes, Repeat-mode FSE tables
+    and the treeless Huffman table persist across chunk boundaries (RFC 8878
+    §3.1.1.5); checksums verify incrementally (streaming XXH64 state, so no
+    full-output buffering); multiple back-to-back frames and skippable
+    frames are handled.
+    """
+
+    def __init__(self, window_cap: int = 1 << 23, verify_checksum: bool = True):
+        self.window_cap = window_cap
+        self.verify_checksum = verify_checksum
+        self.reset()
+
+    def reset(self) -> None:
+        self._buf = bytearray()
+        self._phase = "frame_header"
+        self._hdr = None
+        self._content_len = 0
+        self.frames_completed = 0
+        self._reset_frame_state()
+
+    def _reset_frame_state(self) -> None:
+        from ..constants import REPCODE_INIT
+        from ..format.xxhash import XXH64State
+
+        self._window = b""
+        self._rep = list(REPCODE_INIT)
+        self._seq_tables = None
+        self._huff = None
+        self._hash = XXH64State()
+
+    @property
+    def at_frame_boundary(self) -> bool:
+        """True when no partial frame is pending (flush would succeed)."""
+        return self._phase == "frame_header" and not self._buf
+
+    def decompress_chunk(self, data: bytes) -> bytes:
+        """Consume more compressed bytes; return newly decoded bytes."""
+        from ..constants import (
+            REPCODE_INIT,
+            SKIPPABLE_MAGIC_MAX,
+            SKIPPABLE_MAGIC_MIN,
+            ZSTD_MAGIC,
+        )
+        from ..format import huffman as _huf  # noqa: F401 (decode deps)
+        from ..format.frame import decode_literals_section, parse_frame_header
+        from ..format.sequences import decode_sequences_section, execute_sequences
+
+        self._buf += data
+        out = bytearray()
+        while True:
+            buf = self._buf
+            if self._phase == "frame_header":
+                if len(buf) < 4:
+                    break
+                magic = int.from_bytes(buf[:4], "little")
+                if SKIPPABLE_MAGIC_MIN <= magic <= SKIPPABLE_MAGIC_MAX:
+                    if len(buf) < 8:
+                        break
+                    size = int.from_bytes(buf[4:8], "little")
+                    if len(buf) < 8 + size:
+                        break
+                    del self._buf[: 8 + size]
+                    continue
+                if magic != ZSTD_MAGIC:
+                    raise ValueError(f"bad magic 0x{magic:08X}")
+                if len(buf) < 5:
+                    break
+                fhd = buf[4]
+                fcs_flag, single_segment, did_flag = fhd >> 6, (fhd >> 5) & 1, fhd & 3
+                need = (
+                    5
+                    + (0 if single_segment else 1)
+                    + (0, 1, 2, 4)[did_flag]
+                    + ((1 if single_segment else 0), 2, 4, 8)[fcs_flag]
+                )
+                if len(buf) < need:
+                    break
+                self._hdr = parse_frame_header(bytes(buf[:need]))
+                del self._buf[:need]
+                self._phase = "blocks"
+                self._content_len = 0
+                self._reset_frame_state()
+                continue
+            if self._phase == "blocks":
+                if len(buf) < 3:
+                    break
+                bh = int.from_bytes(buf[:3], "little")
+                last, btype, bsize = bh & 1, (bh >> 1) & 3, bh >> 3
+                body_len = 1 if btype == BLOCK_RLE else bsize
+                if len(buf) < 3 + body_len:
+                    break
+                body = bytes(buf[3 : 3 + body_len])
+                del self._buf[: 3 + body_len]
+                if btype == BLOCK_RAW:
+                    decoded = body
+                elif btype == BLOCK_RLE:
+                    decoded = body[:1] * bsize
+                elif btype == BLOCK_COMPRESSED:
+                    lit = decode_literals_section(body, self._huff)
+                    self._huff = lit.huff_table
+                    seqs, new_tables, _ = decode_sequences_section(
+                        body[lit.consumed :], self._seq_tables
+                    )
+                    if seqs is not None:
+                        self._seq_tables = new_tables
+                    decoded, self._rep = execute_sequences(
+                        lit.data, seqs, self._rep, window=self._window
+                    )
+                else:
+                    raise ValueError("reserved block type")
+                out += decoded
+                self._content_len += len(decoded)
+                self._window = (self._window + decoded)[-self.window_cap :]
+                if self.verify_checksum and self._hdr.has_checksum:
+                    self._hash.update(decoded)
+                if last:
+                    cs = self._hdr.content_size
+                    if cs is not None and self._content_len != cs:
+                        raise ValueError(
+                            f"content size mismatch: {self._content_len} != {cs}"
+                        )
+                    self._phase = "checksum" if self._hdr.has_checksum else "frame_header"
+                    if self._phase == "frame_header":
+                        self.frames_completed += 1
+                continue
+            if self._phase == "checksum":
+                if len(buf) < 4:
+                    break
+                stored = int.from_bytes(buf[:4], "little")
+                del self._buf[:4]
+                if self.verify_checksum and stored != (self._hash.digest() & 0xFFFFFFFF):
+                    raise ValueError("content checksum mismatch")
+                self.frames_completed += 1
+                self._phase = "frame_header"
+                continue
+        return bytes(out)
+
+    def flush(self) -> bytes:
+        """Assert stream completeness (mirrors the reference's flush: no
+        buffered output exists — blocks decode eagerly)."""
+        if not self.at_frame_boundary:
+            raise ValueError("incomplete frame at flush")
+        return b""
 
 
 def _strip_frame_to_blocks(frame: bytes, clear_last: bool) -> bytes:

@@ -137,6 +137,80 @@ def xxh32(data: bytes | bytearray | memoryview | np.ndarray, seed: int = 0) -> i
     return h
 
 
+class XXH64State:
+    """Streaming XXH64 (reference include/cuda_zstd_xxhash.h:123-140
+    `XXH64_State` with init/update/digest kernels): accumulate arbitrary
+    chunks, digest at any point. Matches xxh64() bit-for-bit."""
+
+    __slots__ = ("_v", "_buf", "_total", "_seed")
+
+    def __init__(self, seed: int = 0) -> None:
+        self.reset(seed)
+
+    def reset(self, seed: int = 0) -> None:
+        self._seed = seed & _M64
+        self._v = [
+            (seed + P64_1 + P64_2) & _M64,
+            (seed + P64_2) & _M64,
+            seed & _M64,
+            (seed - P64_1) & _M64,
+        ]
+        self._buf = b""
+        self._total = 0
+
+    def update(self, data: bytes | bytearray | memoryview | np.ndarray) -> None:
+        if isinstance(data, np.ndarray):
+            data = data.astype(np.uint8).tobytes()
+        data = self._buf + bytes(data)
+        self._total += len(data) - len(self._buf)
+        nstripes = len(data) // 32
+        if nstripes:
+            v1, v2, v3, v4 = self._v
+            words = np.frombuffer(data[: nstripes * 32], dtype="<u8").reshape(-1, 4)
+            for k in range(nstripes):
+                w = words[k]
+                v1 = _round64(v1, int(w[0]))
+                v2 = _round64(v2, int(w[1]))
+                v3 = _round64(v3, int(w[2]))
+                v4 = _round64(v4, int(w[3]))
+            self._v = [v1, v2, v3, v4]
+        self._buf = data[nstripes * 32 :]
+
+    def digest(self) -> int:
+        v1, v2, v3, v4 = self._v
+        if self._total >= 32:
+            h = (
+                _rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12) + _rotl64(v4, 18)
+            ) & _M64
+            h = _merge_round64(h, v1)
+            h = _merge_round64(h, v2)
+            h = _merge_round64(h, v3)
+            h = _merge_round64(h, v4)
+        else:
+            h = (self._seed + P64_5) & _M64
+        h = (h + self._total) & _M64
+        data, n, pos = self._buf, len(self._buf), 0
+        while pos + 8 <= n:
+            k1 = _round64(0, int.from_bytes(data[pos : pos + 8], "little"))
+            h ^= k1
+            h = (_rotl64(h, 27) * P64_1 + P64_4) & _M64
+            pos += 8
+        if pos + 4 <= n:
+            h ^= (int.from_bytes(data[pos : pos + 4], "little") * P64_1) & _M64
+            h = (_rotl64(h, 23) * P64_2 + P64_3) & _M64
+            pos += 4
+        while pos < n:
+            h ^= (data[pos] * P64_5) & _M64
+            h = (_rotl64(h, 11) * P64_1) & _M64
+            pos += 1
+        h ^= h >> 33
+        h = (h * P64_2) & _M64
+        h ^= h >> 29
+        h = (h * P64_3) & _M64
+        h ^= h >> 32
+        return h
+
+
 def content_checksum(data: bytes) -> int:
     """Frame content checksum: low 32 bits of XXH64(content, 0).
 

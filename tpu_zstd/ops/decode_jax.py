@@ -420,6 +420,150 @@ def decode_sequences_device_chunked(
     return resh(o_ll), resh(o_ml), resh(o_off), rep_fin
 
 
+HUF_TSIZE = 2048  # 1 << HUF_MAX_BITS (11) — literal decode-table capacity
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6))
+def decode_huffman_device(
+    streams: jax.Array,      # (R0, SW) uint8 — R0 = B*4 stream rows
+    total_bits: jax.Array,   # (R0,) data bits per stream (sentinel stripped)
+    dtable: jax.Array,       # (B, HUF_TSIZE) int32 packed (symbol << 4 | nb_bits)
+    table_log: jax.Array,    # (B,)
+    nsym: jax.Array,         # (R0,) symbols to decode per stream
+    stride: int,             # literal symbols per chunk (accel metadata stride)
+    num_chunks: int,         # static chunk count (>= ceil(max nsym / stride))
+    ck_bits: jax.Array,      # (R0, NC-?) checkpoint bit cursors (chunk c -> c-1)
+):
+    """Chunk-parallel 4-stream Huffman literal decode on device.
+
+    Counterpart of the reference's GPU 4-stream decoder (reference
+    src/cuda_zstd_huffman.cu:1676 `huffman_decode_rfc8878_kernel`, :2204 host
+    driver, :1572 jump-table start-bit finder) — but chunked by EXACT
+    encoder-published bit cursors (format/accel.py lit_ck records) instead of
+    speculative start-bit probing: every chunk of `stride` symbols starts at
+    a known cursor, so the bit-serial prefix-decode chain runs only `stride`
+    steps over B*4*num_chunks independent rows.
+
+    Decode step (RFC 8878 §4.2.2): peek table_log bits (zero-padded past the
+    stream start, like libzstd's shifted-container lookup), look up
+    (symbol, nb_bits), consume nb_bits. Returns (R0, num_chunks*stride) uint8
+    symbols in forward order (entries >= nsym are zero).
+    """
+    R0 = streams.shape[0]
+    B = dtable.shape[0]
+    NC = num_chunks
+    R = R0 * NC
+
+    S = streams.shape[1]
+    pad = (-S) % 4
+    sb = jnp.pad(streams, ((0, 0), (0, pad + 4))).astype(U32)
+    words = (
+        sb[:, 0::4][:, : (S + pad) // 4]
+        | (sb[:, 1::4][:, : (S + pad) // 4] << 8)
+        | (sb[:, 2::4][:, : (S + pad) // 4] << 16)
+        | (sb[:, 3::4][:, : (S + pad) // 4] << 24)
+    )
+    SW = words.shape[1]
+    words_flat = words.reshape(-1)
+
+    row = jnp.repeat(jnp.arange(R0, dtype=I32), NC)       # (R,) stream row
+    cix = jnp.tile(jnp.arange(NC, dtype=I32), B * 4)      # (R,)
+    first = cix == 0
+    ckb = jnp.pad(ck_bits, ((0, 0), (0, max(0, NC - 1 - ck_bits.shape[1]))))[:, : NC - 1]
+    ckb_r = jnp.pad(ckb, ((0, 0), (1, 0))).reshape(-1)    # record c-1 at cix=c
+    bits_left = jnp.where(first, total_bits[row], ckb_r.astype(I32))
+
+    blk = row >> 2                                         # (R,) block of row
+    tl_r = table_log[blk]
+    dt_flat = dtable.reshape(-1)
+    tab_base = blk * HUF_TSIZE
+    nsym_r = nsym[row]
+    word_base = row * SW
+
+    WIN = 5  # 8 x <=11-bit steps span <= 88 bits; 5 words always cover them
+
+    def _fetch_window(bits_left):
+        top_w = jnp.clip((bits_left - 1) >> 5, 0, SW - 1)
+        base_w = jnp.clip(top_w - 3, 0, max(SW - WIN, 0))
+        idx = word_base[:, None] + jnp.minimum(
+            base_w[:, None] + jnp.arange(WIN, dtype=I32)[None, :], SW - 1
+        )
+        win = jnp.take(words_flat, idx)
+        return win, base_w * 32
+
+    def _peek_local(win, base_bit, bits_left, n):
+        """Peek n bits below the cursor, zero-filled past the stream start
+        (value << shortfall when bits_left < n — matches
+        format/bitstream.py BackwardBitReader.peek_padded)."""
+        have = jnp.clip(bits_left, 0, n)
+        nl = bits_left - have
+        rel = jnp.maximum(nl - base_bit, 0)
+        r = jnp.clip(rel >> 5, 0, WIN - 2)
+        sh = (rel & 31).astype(U32)
+        w0 = jnp.zeros_like(bits_left).astype(U32)
+        w1 = jnp.zeros_like(bits_left).astype(U32)
+        for k in range(WIN - 1):
+            w0 = jnp.where(r == k, win[:, k], w0)
+            w1 = jnp.where(r == k, win[:, k + 1], w1)
+        v = (w0 >> sh) | ((w1 << U32(1)) << (U32(31) - sh))
+        raw = (v & ((U32(1) << have.astype(U32)) - U32(1))).astype(I32)
+        return raw << (n - have)
+
+    # G symbols share one 5-word window fetch: each step consumes <= 11 bits,
+    # so 8 steps span <= 88 bits and the lowest peek stays >= 40 bits above
+    # the window base — window gathers drop from 3/symbol to 5/8 symbols
+    # (gathers are the kernel's cost: ~100-130M elem/s on v5e vs effectively
+    # free vector selects).
+    G = 8
+    assert stride % G == 0, "literal stride must be a multiple of 8"
+
+    def body(bits_left, t0):
+        win, base_bit = _fetch_window(bits_left)
+        outs = []
+        for g in range(G):
+            j = cix * stride + t0 * G + g
+            active = j < nsym_r
+            idx = _peek_local(win, base_bit, bits_left, tl_r)
+            e = jnp.take(dt_flat, tab_base + jnp.clip(idx, 0, HUF_TSIZE - 1))
+            sym = e >> 4
+            nb = e & 15
+            bits_left = jnp.where(active, bits_left - nb, bits_left)
+            outs.append(jnp.where(active, sym, 0))
+        return bits_left, jnp.stack(outs)
+
+    _, syms = jax.lax.scan(
+        body, bits_left, jnp.arange(stride // G, dtype=I32), unroll=2
+    )
+    # (T, G, R) -> (R, T*G) -> (R0, NC*stride) forward symbol order.
+    syms = jnp.transpose(syms, (2, 0, 1)).reshape(R0 * NC, stride)
+    return syms.reshape(R0, NC * stride).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def assemble_literals_4stream(
+    syms: jax.Array,   # (B*4, SEGCAP) uint8 decoded stream symbols
+    regen: jax.Array,  # (B,) regenerated literal counts
+    out_cap: int,
+):
+    """Concatenate per-stream symbols into front-compacted (B, out_cap) lits.
+
+    Stream s of block b holds seg = ceil(regen/4) symbols (the 4th the
+    remainder); output position p belongs to stream p // seg at offset
+    p % seg — one flat gather, no scatters.
+    """
+    B4, SEGCAP = syms.shape
+    B = B4 // 4
+    seg = (regen + 3) >> 2
+    p = jnp.arange(out_cap, dtype=I32)[None, :]
+    seg_b = jnp.maximum(seg, 1)[:, None]
+    s = jnp.minimum(p // seg_b, 3)
+    j = p - s * seg_b
+    rows = (jnp.arange(B, dtype=I32)[:, None] * 4 + s)
+    flat_idx = rows * SEGCAP + jnp.clip(j, 0, SEGCAP - 1)
+    out = jnp.take(syms.reshape(-1), flat_idx.reshape(-1)).reshape(B, out_cap)
+    return jnp.where(p < regen[:, None], out, 0).astype(jnp.uint8)
+
+
 @functools.partial(jax.jit, static_argnums=(7, 8))
 def execute_sequences_device(
     lits: jax.Array,     # (B, L) uint8 literal bytes (front-compacted)

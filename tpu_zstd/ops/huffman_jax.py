@@ -281,7 +281,8 @@ def encode_literals_4stream(
     lengths: jax.Array,
     codes: jax.Array,
     out_cap: int,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
+    ckpt_every: int = 0,
+) -> tuple:
     """4-stream Huffman payload: jump table + 4 backward bitstreams.
 
     lits: (N,) uint8 (first nlit valid). Returns (payload[out_cap+8] uint8,
@@ -310,7 +311,7 @@ def encode_literals_4stream(
     ends = jnp.stack([seg, seg * 2, seg * 3, nlit])
 
     j = jnp.arange(P, dtype=I32)
-    v2s, l2s = [], []
+    v2s, l2s, cks = [], [], []
     for s in range(4):
         # Stream s reversed symbols start at flip-index N - ends[s]:
         # dynroll right by ends[s] puts them at 0 (mod N when nlit == N).
@@ -318,6 +319,18 @@ def encode_literals_4stream(
         n_s = ends[s] - starts[s]
         l_s = jnp.where(j < n_s, pks >> 12, 0)
         c_s = jnp.where(j < n_s, pks & 0xFFF, 0)
+        if ckpt_every:
+            # Decoder checkpoints (ops/decode_jax.py decode_huffman_device):
+            # the decoder's unread-bit cursor before FORWARD symbol k equals
+            # the exclusive prefix of reversed-order code lengths at reversed
+            # index n_s - k (total stream bits == full prefix sum).
+            K = ckpt_every
+            NCL = P // K
+            cume = jnp.cumsum(l_s) - l_s
+            c_ar = jnp.arange(1, NCL, dtype=I32)
+            ti = n_s - c_ar * K
+            ck = jnp.where(ti >= 1, jnp.take(cume, jnp.clip(ti, 0, P - 1)), 0)
+            cks.append(ck)
         c0, c1 = c_s[0::2], c_s[1::2]
         l0, l1 = l_s[0::2], l_s[1::2]
         v2s.append((c0 | (c1 << l0)).astype(U32))  # <= 22 bits
@@ -356,15 +369,18 @@ def encode_literals_4stream(
 
     out = jnp.concatenate([jump, words_to_bytes(words), jnp.zeros(2, jnp.uint8)])
     payload_len = 6 + jnp.sum(stream_bytes)
+    if ckpt_every:
+        return out, payload_len, ok, jnp.stack(cks)
     return out, payload_len, ok
 
 
 def compress_literals_huffman(
-    lits: jax.Array, nlit: jax.Array, out_cap: int
-) -> tuple[jax.Array, jax.Array, jax.Array]:
+    lits: jax.Array, nlit: jax.Array, out_cap: int, ckpt_every: int = 0
+) -> tuple:
     """Full Huffman literals payload: weights header + 4-stream body.
 
-    Returns (payload[out_cap + 8] uint8, payload_len, ok). Callers compare
+    Returns (payload[out_cap + 8] uint8, payload_len, ok) — plus lit decode
+    checkpoints (4, P//ckpt_every - 1) when ckpt_every > 0. Callers compare
     against the Raw representation and pick the smaller.
     """
     from .bitpack import place
@@ -374,7 +390,11 @@ def compress_literals_huffman(
     codes = canonical_codes(lengths)
     whdr, wlen, ok_w = weights_header(lengths)
     fpay, flen, ok_f = weights_fse_payload(lengths)
-    body, blen, ok_s = encode_literals_4stream(lits, nlit, lengths, codes, out_cap)
+    enc = encode_literals_4stream(lits, nlit, lengths, codes, out_cap, ckpt_every)
+    if ckpt_every:
+        body, blen, ok_s, lit_ck = enc
+    else:
+        body, blen, ok_s = enc
 
     # Weights representation: FSE-compressed (headerByte < 128 = its size)
     # when it is valid and smaller, or when direct is impossible (>128
@@ -390,4 +410,7 @@ def compress_literals_huffman(
     cap2 = out_cap + 4096  # 4096-aligned (out_cap is) for the Pallas rotate
     out = place(hdr_arr, hdr_len, jnp.zeros((), I32), cap2, 1)
     out = out + place(body, blen, hdr_len, cap2, 256)
-    return out, hdr_len + blen, ok_l & (ok_w | ok_f) & ok_s
+    ok = ok_l & (ok_w | ok_f) & ok_s
+    if ckpt_every:
+        return out, hdr_len + blen, ok, lit_ck
+    return out, hdr_len + blen, ok

@@ -46,6 +46,8 @@ class PipelineConfig:
     custom_fse: bool = True  # per-block FSE sequence tables (ops/fse_tables_jax.py)
     seg_log: int = 10  # greedy-parse segment log (scan length = 2^seg_log)
     ckpt_every: int = 0  # decoder-checkpoint stride (0 = no accel metadata)
+    lit_ckpt_every: int = 512  # literal decode-checkpoint stride (coarser:
+    # literals are ~10-40x more numerous than sequences)
     # Offset-cost gate (ml-4/ml-5 max offset codes; 99 = off): short matches
     # at large offsets cost more bits than the literals they replace.
     of_gate: tuple = (8, 12)
@@ -220,11 +222,17 @@ def _assemble_one(
     )
     raw_total = lit_hdr_len + nlit
 
+    lit_ck = None
     if cfg.huffman_literals:
         from .huffman_jax import compress_literals_huffman, huff_payload_cap
 
         hcap = huff_payload_cap(N)
-        hpay, hlen, h_ok = compress_literals_huffman(lits[:N], nlit, hcap)
+        if cfg.ckpt_every:
+            hpay, hlen, h_ok, lit_ck = compress_literals_huffman(
+                lits[:N], nlit, hcap, cfg.lit_ckpt_every
+            )
+        else:
+            hpay, hlen, h_ok = compress_literals_huffman(lits[:N], nlit, hcap)
         h_hdr_len = jnp.where(
             (nlit < 1024) & (hlen < 1024), 3,
             jnp.where((nlit < 16384) & (hlen < 16384), 4, 5),
@@ -266,6 +274,11 @@ def _assemble_one(
         jnp.broadcast_to(payload[0], (N,)).astype(jnp.uint8),
         jnp.where(is_comp, body, payload.astype(jnp.uint8)),
     )
+    if cfg.ckpt_every and cfg.huffman_literals:
+        # Literal decode checkpoints are live only when the emitted block
+        # really is Compressed with Huffman literals.
+        lit_used = is_comp & use_h
+        return content, content_len, btype, lit_ck, lit_used
     return content, content_len, btype
 
 
@@ -347,7 +360,10 @@ def _encode_stage(blocks, lengths, seqs, cfg: PipelineConfig, msb: int):
         lambda b, l, li, nl, ns, sb, sl: _assemble_one(b, l, li, nl, ns, sb, sl, cfg)
     )(blocks, lengths, seqs.lits, seqs.nlit, seqs.nseq, seq_bytes, seq_len)
     if cfg.ckpt_every:
-        return out + ck + (seqs.nseq,)
+        # (content, clens, btypes, ck_bits, ck_states, ck_rep, nseq[,
+        #  lit_ck, lit_used, nlit])
+        lit_extra = out[3:] + (seqs.nlit,) if cfg.huffman_literals else ()
+        return out[:3] + ck + (seqs.nseq,) + lit_extra
     return out
 
 

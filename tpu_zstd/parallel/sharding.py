@@ -53,7 +53,12 @@ def compress_blocks_sharded(
     """Compress a (B, N) block batch sharded over the mesh's batch axis.
 
     B must be a multiple of the mesh size (callers pad with zero-length
-    blocks). Returns host numpy (contents, content_lens, block_types).
+    blocks). Every process passes the SAME full (B, N) batch (standard SPMD
+    data contract); each process materializes only its addressable shards.
+    Returns host numpy (contents, content_lens, block_types) — complete on
+    every process (multi-process: shards are exchanged with
+    multihost_utils.process_allgather; a plain device_get would raise on
+    non-addressable shards).
     """
     mesh = mesh or make_mesh()
     ndev = mesh.devices.size
@@ -64,9 +69,27 @@ def compress_blocks_sharded(
         lengths = np.concatenate([lengths, np.zeros(pad, lengths.dtype)])
     sharding = NamedSharding(mesh, P("batch", None))
     lsharding = NamedSharding(mesh, P("batch"))
-    jb = jax.device_put(jnp.asarray(blocks), sharding)
-    jl = jax.device_put(jnp.asarray(lengths), lsharding)
-    contents, clens, btypes = jax.device_get(
-        _compress_blocks_sharded(jb, jl, cfg, mesh=mesh)
-    )
+    multiproc = jax.process_count() > 1
+    if multiproc:
+        # Build global arrays shard-by-shard: each process uploads only the
+        # rows its devices own (the full batch is identical everywhere, so
+        # index slicing is consistent without any exchange).
+        jb = jax.make_array_from_callback(
+            blocks.shape, sharding, lambda idx: blocks[idx]
+        )
+        jl = jax.make_array_from_callback(
+            lengths.shape, lsharding, lambda idx: lengths[idx]
+        )
+    else:
+        jb = jax.device_put(jnp.asarray(blocks), sharding)
+        jl = jax.device_put(jnp.asarray(lengths), lsharding)
+    out = _compress_blocks_sharded(jb, jl, cfg, mesh=mesh)
+    if multiproc:
+        from jax.experimental import multihost_utils as mhu
+
+        contents, clens, btypes = (
+            np.asarray(mhu.process_allgather(o, tiled=True)) for o in out
+        )
+    else:
+        contents, clens, btypes = jax.device_get(out)
     return contents[:B], clens[:B], btypes[:B]
