@@ -126,3 +126,47 @@ def test_compress_batch_async(rng):
     dctx = zstd.ZstdDecompressor()
     for it, d in zip(res, items):
         assert dctx.decompress(it.output, max_output_size=len(d)) == d
+
+
+def test_batch_oom_degradation(monkeypatch):
+    """Accelerator OOM degrades to split-and-retry, then host fallback
+    (reference memory-pool degradation ladder, pool.h:26-97)."""
+    import zstandard
+
+    from tpu_zstd.api import manager as M
+    from tpu_zstd.api.config import CompressionConfig
+    from tpu_zstd.api.manager import BatchManager
+
+    items = [b"degradation payload %d " % i * 500 for i in range(4)]
+
+    real = M.compress_items_tpu
+    calls = {"n": 0}
+
+    def flaky(its, cfg, history=None):
+        calls["n"] += 1
+        if len(its) > 1:
+            raise RuntimeError("RESOURCE_EXHAUSTED: Out of memory on device")
+        return real(its, cfg, history)
+
+    monkeypatch.setattr(M, "compress_items_tpu", flaky)
+    bm = BatchManager(config=CompressionConfig.from_level(1))
+    outs = bm.compress_batch(items)
+    assert bm.degradations >= 3  # 4 -> 2+2 -> 1x4
+    d = zstandard.ZstdDecompressor()
+    for it, src in zip(outs, items):
+        assert it.output is not None
+        assert d.decompress(it.output, max_output_size=len(src)) == src
+
+
+def test_batch_non_oom_errors_propagate(monkeypatch):
+    from tpu_zstd.api import manager as M
+    from tpu_zstd.api.config import CompressionConfig
+    from tpu_zstd.api.manager import BatchManager
+
+    def broken(its, cfg, history=None):
+        raise ValueError("unrelated failure")
+
+    monkeypatch.setattr(M, "compress_items_tpu", broken)
+    bm = BatchManager(config=CompressionConfig.from_level(1))
+    with pytest.raises(ValueError, match="unrelated"):
+        bm.compress_batch([b"x" * 100])

@@ -68,3 +68,61 @@ def test_batch_path_uses_native_and_matches(corpus):
     finally:
         mgr_mod._assemble_native = orig
     assert fast == slow
+
+
+def test_native_engine_roundtrip_and_interop():
+    """The C engine (csrc/tpu_zstd_engine.cpp, the reference's C-API-surface
+    counterpart) round-trips through stock libzstd in both directions."""
+    import zstandard
+
+    from tpu_zstd.utils.native import NativeEngine
+
+    eng = NativeEngine.create(3, checksum=True)
+    if eng is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(5)
+    cases = [
+        b"native engine payload " * 2000,
+        rng.integers(0, 256, 50000, dtype=np.uint8).tobytes(),
+        b"R" * 9000,
+        b"x",
+        b"",
+    ]
+    d = zstandard.ZstdDecompressor()
+    for data in cases:
+        frame = eng.compress(data)
+        assert frame is not None
+        assert d.decompress(frame, max_output_size=max(len(data), 1)) == data
+        for lvl in (1, 19):
+            z = zstandard.ZstdCompressor(level=lvl, write_checksum=True).compress(data)
+            assert eng.decompress(z, max(len(data), 1)) == data
+    in_b, out_b, calls, last_err = eng.stats()
+    assert calls == len(cases) and in_b == sum(len(c) for c in cases)
+    # corrupt input comes back None, not a crash
+    bad = bytearray(eng.compress(cases[0]))
+    bad[len(bad) // 2] ^= 0x40
+    assert eng.decompress(bytes(bad), len(cases[0])) is None
+
+
+def test_manager_cpu_path_uses_engine(corpus):
+    """Manager's CPU route must not fall back to the pure-Python codec when
+    the native engine is available (round-2 review weak #10)."""
+    import zstandard
+
+    from tpu_zstd.api.config import CompressionConfig
+    from tpu_zstd.api.manager import Manager
+    from tpu_zstd.utils.native import NativeEngine
+
+    if NativeEngine.create(3) is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    cfg = CompressionConfig.from_level(3)
+    m = Manager(config=cfg)
+    data = corpus["text"]
+    frame = m._compress_cpu(data)
+    assert zstandard.ZstdDecompressor().decompress(
+        frame, max_output_size=len(data)
+    ) == data

@@ -425,6 +425,11 @@ def decompress_batch_to_device(
         if not (bh & 1):
             raise ValueError("decompress_batch_to_device: multi-block frame")
         btype, bsize = (bh >> 1) & 3, bh >> 3
+        if (hdr.content_size or 0) > max_block or bsize > max_block:
+            raise ValueError(
+                "decompress_batch_to_device: block exceeds max_block "
+                f"({hdr.content_size or bsize} > {max_block})"
+            )
         body = f[pos + 3 : pos + 3 + (1 if btype == BLOCK_RLE else bsize)]
         if btype == BLOCK_RAW:
             plans.append(None)
@@ -449,150 +454,193 @@ def decompress_batch_to_device(
         and accel_stride > 0
         and all(m is not None for p, m in zip(plans, metas) if p is not None and p.nbseq > 0)
     )
-
-    B = _bucket(max(nf, 1), lo=1)
-    swidth = _bucket(
-        max(max((len(p.stream) for p in plans if p is not None), default=1), 64), lo=64
-    )
     # Device-literal eligibility: a litdev parse AND enough checkpoint
     # records for its chunk count (records cover ceil(seg/stride)-1 chunks
     # by construction; seg <= stride needs none).
     C = accel_stride if (accel_stride and accel_stride > 0) else 0
     CL = lit_stride if (lit_stride and lit_stride > 0) else 0
-    litdev_idx = []
+    litdev_set = set()
     if C and CL:
         for i, p in enumerate(plans):
             if p is None or p.litdev is None or metas[i] is None:
                 continue
             seg = (p.litdev[5] + 3) // 4
             if metas[i][4].shape[1] >= max(0, -(-seg // CL) - 1):
-                litdev_idx.append(i)
-    litdev_set = set(litdev_idx)
+                litdev_set.add(i)
 
-    # Host-literal width is trimmed to the widest NON-device literal run —
-    # with device Huffman literals the decoded bytes never cross the host
-    # link at all (the 30-40 MB/s tunnel made that upload the dominant cost).
-    host_lit_max = max(
-        [len(raws[i]) for i in range(nf) if plans[i] is None]
-        + [plans[i].nlit for i in range(nf) if plans[i] is not None and i not in litdev_set]
-        + [1]
-    )
-    lit_w = min(_bucket(max(host_lit_max, 64), lo=64), max_block)
-    streams = np.zeros((B, swidth), np.uint8)
-    tbits = np.zeros(B, np.int32)
-    sym = np.zeros((B, 3, TSIZE_MAX), np.int32)
-    nb = np.zeros((B, 3, TSIZE_MAX), np.int32)
-    ns = np.zeros((B, 3, TSIZE_MAX), np.int32)
-    logs = np.zeros((B, 3), np.int32)
-    nseq = np.zeros(B, np.int32)
-    lits = np.zeros((B, lit_w), np.uint8)
-    nlit = np.zeros(B, np.int32)
-    for i, p in enumerate(plans):
-        if p is None:
-            # Raw/RLE: feed the bytes through as pure literals.
-            r = raws[i]
-            lits[i, : len(r)] = np.frombuffer(r, np.uint8)
-            nlit[i] = len(r)
-            continue
-        streams[i, : len(p.stream)] = np.frombuffer(p.stream, np.uint8)
-        tbits[i] = p.total_bits
-        nseq[i] = p.nbseq
-        nlit[i] = p.nlit
-        if i not in litdev_set:
-            if p.litdev is not None:
-                # Parsed lazily but no usable checkpoints: host-decode now.
-                p.lits = decode_literals_section(bodies[i], None).data
-            lits[i, : p.nlit] = np.frombuffer(p.lits, np.uint8)
-        if p.tables is not None:
-            sym[i], nb[i], ns[i], logs[i] = p.tables
-
-    tables = SeqTables(jnp.asarray(sym), jnp.asarray(nb), jnp.asarray(ns), jnp.asarray(logs))
-    if use_accel:
-        max_nc = max(
-            (-(-int(nseq[i]) // C) for i in range(nf) if plans[i] is not None), default=1
-        )
-        NC = _bucket(max(max_nc, 1), lo=1)
-        ckb = np.zeros((B, max(NC - 1, 1)), np.int32)
-        cks = np.zeros((B, max(NC - 1, 1)), np.int32)
-        ckr = np.ones((B, max(NC - 1, 1), 3), np.int32)
-        for i, rec in enumerate(metas):
-            if rec is None:
-                continue
-            bits_a, st_a, rep_a = rec[1], rec[2], rec[3]
-            n = min(len(bits_a), NC - 1)
-            ckb[i, :n] = bits_a[:n].astype(np.int64).astype(np.int32)
-            cks[i, :n] = st_a[:n].astype(np.int64).astype(np.int32)
-            ckr[i, :n] = rep_a[:n].astype(np.int64).astype(np.int32)
-        ll, ml, off, _ = decode_sequences_device_chunked(
-            jnp.asarray(streams), jnp.asarray(tbits), tables, jnp.asarray(nseq),
-            jnp.asarray(ckb), jnp.asarray(cks), jnp.asarray(ckr), C, NC, MAX_SEQS_DEC,
-        )
-    else:
-        rep0 = np.tile(np.asarray(REPCODE_INIT, np.int32), (B, 1))
-        ll, ml, off, _ = decode_sequences_device(
-            jnp.asarray(streams), jnp.asarray(tbits), tables,
-            jnp.asarray(nseq), jnp.asarray(rep0), MAX_SEQS_DEC,
-        )
-
-    lits_j = jnp.asarray(lits)
-    if lit_w < max_block:
-        lits_j = jnp.pad(lits_j, ((0, 0), (0, max_block - lit_w)))
-    if litdev_idx:
-        # Device 4-stream Huffman literal decode (chunk-parallel from
-        # encoder-published cursors) replaces the host decode + 1 byte/lit
-        # upload for every eligible block.
-        from ..ops.decode_jax import (
-            assemble_literals_4stream,
-            decode_huffman_device,
-        )
-
-        R0 = B * 4
-        lsw = _bucket(
-            max(
-                max(
-                    len(s)
-                    for i in litdev_idx
-                    for s in plans[i].litdev[0]
-                ),
-                64,
-            ),
+    def _decode_subbatch(idxs: list[int]):
+        """Decode one size-class group of frames; returns device (out, len)."""
+        ng = len(idxs)
+        B = _bucket(max(ng, 1), lo=1)
+        swidth = _bucket(
+            max(max((len(plans[i].stream) for i in idxs if plans[i] is not None), default=1), 64),
             lo=64,
         )
-        max_sym = max(max(plans[i].litdev[2]) for i in litdev_idx)
-        NCL = _bucket(max(-(-max_sym // CL), 1), lo=1)
-        lstreams = np.zeros((R0, lsw), np.uint8)
-        ltbits = np.zeros(R0, np.int32)
-        lnsym = np.zeros(R0, np.int32)
-        dtab = np.zeros((B, 2048), np.uint16)
-        tlog = np.zeros(B, np.int32)
-        lck = np.zeros((R0, max(NCL - 1, 1)), np.int32)
-        regen = np.zeros(B, np.int32)
-        dev_mask = np.zeros(B, bool)
-        for i in litdev_idx:
-            sts, tb, nsy, packed, tl_b, rg = plans[i].litdev
-            dev_mask[i] = True
-            dtab[i] = packed.astype(np.uint16)
-            tlog[i] = tl_b
-            regen[i] = rg
-            lc = metas[i][4]
-            for s in range(4):
-                r = i * 4 + s
-                lstreams[r, : len(sts[s])] = np.frombuffer(sts[s], np.uint8)
-                ltbits[r] = tb[s]
-                lnsym[r] = nsy[s]
-                n = min(lc.shape[1], NCL - 1)
-                if n:
-                    lck[r, :n] = lc[s, :n].astype(np.int64).astype(np.int32)
-        syms = decode_huffman_device(
-            jnp.asarray(lstreams), jnp.asarray(ltbits),
-            jnp.asarray(dtab).astype(jnp.int32), jnp.asarray(tlog),
-            jnp.asarray(lnsym), CL, NCL, jnp.asarray(lck),
+        all_dev = all(plans[i] is not None and i in litdev_set for i in idxs)
+        host_lit_max = max(
+            [len(raws[i]) for i in idxs if plans[i] is None]
+            + [plans[i].nlit for i in idxs if plans[i] is not None and i not in litdev_set]
+            + [1]
         )
-        lits_dev = assemble_literals_4stream(syms, jnp.asarray(regen), max_block)
-        lits_j = jnp.where(jnp.asarray(dev_mask)[:, None], lits_dev, lits_j)
+        lit_w = min(_bucket(max(host_lit_max, 64), lo=64), max_block)
+        streams = np.zeros((B, swidth), np.uint8)
+        tbits = np.zeros(B, np.int32)
+        sym = np.zeros((B, 3, TSIZE_MAX), np.int32)
+        nb = np.zeros((B, 3, TSIZE_MAX), np.int32)
+        ns = np.zeros((B, 3, TSIZE_MAX), np.int32)
+        logs = np.zeros((B, 3), np.int32)
+        nseq = np.zeros(B, np.int32)
+        lits = np.zeros((B, lit_w), np.uint8)
+        nlit = np.zeros(B, np.int32)
+        for bi, i in enumerate(idxs):
+            p = plans[i]
+            if p is None:
+                r = raws[i]
+                lits[bi, : len(r)] = np.frombuffer(r, np.uint8)
+                nlit[bi] = len(r)
+                continue
+            streams[bi, : len(p.stream)] = np.frombuffer(p.stream, np.uint8)
+            tbits[bi] = p.total_bits
+            nseq[bi] = p.nbseq
+            nlit[bi] = p.nlit
+            if i not in litdev_set:
+                if p.litdev is not None:
+                    # Parsed lazily but no usable checkpoints: host-decode now.
+                    p.lits = decode_literals_section(bodies[i], None).data
+                lits[bi, : p.nlit] = np.frombuffer(p.lits, np.uint8)
+            if p.tables is not None:
+                sym[bi], nb[bi], ns[bi], logs[bi] = p.tables
 
-    out, out_len = execute_sequences(
-        lits_j, jnp.asarray(nlit), ll, ml, off,
-        jnp.asarray(nseq), jnp.zeros((B, 1), jnp.uint8), max_block, 1,
-    )
-    return out[:nf], out_len[:nf]
+        tables = SeqTables(
+            jnp.asarray(sym), jnp.asarray(nb), jnp.asarray(ns), jnp.asarray(logs)
+        )
+        if use_accel:
+            max_nc = max(
+                (-(-int(nseq[bi]) // C) for bi, i in enumerate(idxs) if plans[i] is not None),
+                default=1,
+            )
+            NC = _bucket(max(max_nc, 1), lo=1)
+            ckb = np.zeros((B, max(NC - 1, 1)), np.int32)
+            cks = np.zeros((B, max(NC - 1, 1)), np.int32)
+            ckr = np.ones((B, max(NC - 1, 1), 3), np.int32)
+            for bi, i in enumerate(idxs):
+                rec = metas[i]
+                if rec is None:
+                    continue
+                bits_a, st_a, rep_a = rec[1], rec[2], rec[3]
+                n = min(len(bits_a), NC - 1)
+                ckb[bi, :n] = bits_a[:n].astype(np.int64).astype(np.int32)
+                cks[bi, :n] = st_a[:n].astype(np.int64).astype(np.int32)
+                ckr[bi, :n] = rep_a[:n].astype(np.int64).astype(np.int32)
+            ll, ml, off, _ = decode_sequences_device_chunked(
+                jnp.asarray(streams), jnp.asarray(tbits), tables, jnp.asarray(nseq),
+                jnp.asarray(ckb), jnp.asarray(cks), jnp.asarray(ckr), C, NC, MAX_SEQS_DEC,
+            )
+        else:
+            rep0 = np.tile(np.asarray(REPCODE_INIT, np.int32), (B, 1))
+            ll, ml, off, _ = decode_sequences_device(
+                jnp.asarray(streams), jnp.asarray(tbits), tables,
+                jnp.asarray(nseq), jnp.asarray(rep0), MAX_SEQS_DEC,
+            )
+
+        group_litdev = [i for i in idxs if i in litdev_set]
+        syms = regen_j = None
+        if group_litdev:
+            from ..ops.decode_jax import (
+                assemble_literals_4stream,
+                decode_huffman_device,
+            )
+
+            R0 = B * 4
+            lsw = _bucket(
+                max(max(len(s) for i in group_litdev for s in plans[i].litdev[0]), 64),
+                lo=64,
+            )
+            max_sym = max(max(plans[i].litdev[2]) for i in group_litdev)
+            NCL = _bucket(max(-(-max_sym // CL), 1), lo=1)
+            lstreams = np.zeros((R0, lsw), np.uint8)
+            ltbits = np.zeros(R0, np.int32)
+            lnsym = np.zeros(R0, np.int32)
+            dtab = np.zeros((B, 2048), np.uint16)
+            tlog = np.zeros(B, np.int32)
+            lck = np.zeros((R0, max(NCL - 1, 1)), np.int32)
+            regen = np.zeros(B, np.int32)
+            dev_mask = np.zeros(B, bool)
+            for bi, i in enumerate(idxs):
+                if i not in litdev_set:
+                    continue
+                sts, tb, nsy, packed, tl_b, rg = plans[i].litdev
+                dev_mask[bi] = True
+                dtab[bi] = packed.astype(np.uint16)
+                tlog[bi] = tl_b
+                regen[bi] = rg
+                lc = metas[i][4]
+                for s in range(4):
+                    r = bi * 4 + s
+                    lstreams[r, : len(sts[s])] = np.frombuffer(sts[s], np.uint8)
+                    ltbits[r] = tb[s]
+                    lnsym[r] = nsy[s]
+                    n = min(lc.shape[1], NCL - 1)
+                    if n:
+                        lck[r, :n] = lc[s, :n].astype(np.int64).astype(np.int32)
+            syms = decode_huffman_device(
+                jnp.asarray(lstreams), jnp.asarray(ltbits),
+                jnp.asarray(dtab).astype(jnp.int32), jnp.asarray(tlog),
+                jnp.asarray(lnsym), CL, NCL, jnp.asarray(lck),
+            )
+            regen_j = jnp.asarray(regen)
+
+        if all_dev and syms is not None:
+            # Whole group decodes literals on device: the executor reads the
+            # 4-stream symbol rows directly (no assembled literal buffer, one
+            # fewer full-output gather).
+            return execute_sequences(
+                jnp.zeros((B, 1), jnp.uint8), jnp.asarray(nlit), ll, ml, off,
+                jnp.asarray(nseq), jnp.zeros((B, 1), jnp.uint8), max_block, 1,
+                lit_src=(syms, regen_j),
+            )
+        lits_j = jnp.asarray(lits)
+        if lit_w < max_block:
+            lits_j = jnp.pad(lits_j, ((0, 0), (0, max_block - lit_w)))
+        if syms is not None:
+            lits_dev = assemble_literals_4stream(syms, regen_j, max_block)
+            lits_j = jnp.where(jnp.asarray(dev_mask)[:, None], lits_dev, lits_j)
+        return execute_sequences(
+            lits_j, jnp.asarray(nlit), ll, ml, off,
+            jnp.asarray(nseq), jnp.zeros((B, 1), jnp.uint8), max_block, 1,
+        )
+
+    # Group frames by decode size class (chunk-count buckets): blocks with
+    # few sequences/literals stop padding to the batch max — at stride 64 a
+    # 2K-seq block in a batch with a 32K-seq block otherwise runs 16x the
+    # scan rows it needs. Raw/RLE and host-literal frames form their own
+    # group so all-device groups take the fused executor path.
+    groups: dict = {}
+    for i in range(nf):
+        p = plans[i]
+        if p is None:
+            key = ("host", 0, 0)
+        else:
+            nc = _bucket(max(-(-p.nbseq // C), 1), lo=1) if (use_accel and C) else 0
+            if i in litdev_set:
+                seg = (p.litdev[5] + 3) // 4
+                key = ("dev", nc, _bucket(max(-(-seg // CL), 1), lo=1))
+            else:
+                key = ("host", nc, 0)
+        groups.setdefault(key, []).append(i)
+
+    if len(groups) <= 1:
+        out, out_len = _decode_subbatch(list(range(nf)))
+        return out[:nf], out_len[:nf]
+    parts = []
+    order = []
+    for key in sorted(groups):
+        idxs = groups[key]
+        out_g, len_g = _decode_subbatch(idxs)
+        parts.append((out_g[: len(idxs)], len_g[: len(idxs)]))
+        order.extend(idxs)
+    inv = np.empty(nf, np.int32)
+    inv[np.asarray(order)] = np.arange(nf, dtype=np.int32)
+    out = jnp.concatenate([p[0] for p in parts], axis=0)[jnp.asarray(inv)]
+    out_len = jnp.concatenate([p[1] for p in parts], axis=0)[jnp.asarray(inv)]
+    return out, out_len

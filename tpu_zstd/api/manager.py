@@ -54,6 +54,12 @@ def _pipeline_config(cfg: CompressionConfig):
         # sort at width 128K took > 20 min to compile on v5e).
         mf_win_log=13 if cfg.level <= 6 else 14,
         ckpt_every=ACCEL_STRIDE if cfg.decode_accel else 0,
+        # Level-1 acceleration (libzstd's fast-negative-level step): every
+        # 2nd position searches, halving the match-finder's sort rows for
+        # ~10% ratio.
+        sample_log=1 if cfg.level <= 1 else 0,
+        # Long-range supplement for ratio-focused levels (reference LDM).
+        ldm=cfg.level >= 7,
     )
 
 
@@ -153,13 +159,24 @@ class Manager:
 
     # -- internals ------------------------------------------------------------
     def _compress_cpu(self, data: bytes) -> bytes:
-        """Host path: the format-layer reference codec (pure Python/numpy).
+        """Host path: the native C++ engine (csrc/tpu_zstd_engine.cpp).
 
         The reference's CPU path delegates to libzstd (manager.cu:1607-1668);
-        the equivalent fast host path here is HybridEngine with
-        Backend.CPU_LIBZSTD — Manager's CPU path stays within our own codec so
-        that every Manager output exercises this framework's format layer.
+        ours runs this framework's OWN native engine — the same format layer,
+        compiled — with the pure-Python format codec as the no-toolchain
+        fallback (a perf trap the round-2 review flagged: the Python codec
+        runs at a few MB/s; the engine runs at tens-to-hundreds of MB/s).
         """
+        from ..utils.native import NativeEngine
+
+        checksum = self.config.checksum != ChecksumPolicy.NONE
+        eng = NativeEngine.create(
+            self.config.level, checksum=checksum, block_size=self.config.block_size
+        )
+        if eng is not None:
+            out = eng.compress(data)
+            if out is not None:
+                return out
         from ..format.frame import CompressParams, compress as host_compress
 
         return host_compress(
@@ -171,7 +188,7 @@ class Manager:
                 min_match=self.config.min_match,
                 lazy=self.config.strategy >= 4,
                 block_size=self.config.block_size,
-                checksum=self.config.checksum != ChecksumPolicy.NONE,
+                checksum=checksum,
             ),
         )
 
@@ -433,13 +450,51 @@ def _decompress_host(
         return fallback(data, verify_checksum=verify)
 
 
+def _is_oom(exc: Exception) -> bool:
+    s = f"{type(exc).__name__}: {exc}"
+    return "RESOURCE_EXHAUSTED" in s or "Out of memory" in s or "OOM" in s
+
+
+def _compress_items_degraded(
+    items: list[bytes], cfg: CompressionConfig, on_degrade=None
+) -> list[bytes]:
+    """compress_items_tpu with graceful degradation: an accelerator OOM
+    splits the batch and retries the halves, down to single items; a
+    single-item OOM falls back to the host engine.
+
+    The TPU analogue of the reference memory pool's degradation ladder
+    (reference src/cuda_zstd_memory_pool_complex.cu:373-770:
+    NORMAL -> CONSERVATIVE -> AGGRESSIVE -> EMERGENCY with host fallback) —
+    XLA owns memory here, so degradation means smaller dispatches, not
+    smaller pools.
+    """
+    try:
+        return compress_items_tpu(items, cfg)
+    except Exception as e:  # noqa: BLE001 - we re-raise non-OOM below
+        if not _is_oom(e):
+            raise
+        if on_degrade is not None:
+            on_degrade(len(items))
+        if len(items) > 1:
+            mid = len(items) // 2
+            return _compress_items_degraded(
+                items[:mid], cfg, on_degrade
+            ) + _compress_items_degraded(items[mid:], cfg, on_degrade)
+        from .hybrid import HybridEngine, HybridConfig, RoutingMode
+
+        eng = HybridEngine(HybridConfig(mode=RoutingMode.FORCE_CPU), compression=cfg)
+        return [eng.compress(items[0])]
+
+
 class BatchManager:
     """Batched many-buffer compression (reference ZstdBatchManager,
-    manager.h:113-278). One device dispatch per batch."""
+    manager.h:113-278). One device dispatch per batch, with OOM
+    split-and-retry degradation (see _compress_items_degraded)."""
 
     def __init__(self, level: int = 3, config: CompressionConfig | None = None):
         self.config = config or CompressionConfig.from_level(level)
         self.stats = CompressionStats()
+        self.degradations = 0  # batch splits forced by accelerator OOM
 
     def __enter__(self) -> "BatchManager":
         return self
@@ -450,7 +505,13 @@ class BatchManager:
     def compress_batch(self, items: list[BatchItem] | list[bytes]) -> list[BatchItem]:
         t0 = time.perf_counter()
         norm = [it if isinstance(it, BatchItem) else BatchItem(it) for it in items]
-        outs = compress_items_tpu([it.data for it in norm], self.config)
+
+        def on_degrade(n):
+            self.degradations += 1
+
+        outs = _compress_items_degraded(
+            [it.data for it in norm], self.config, on_degrade
+        )
         for it, out in zip(norm, outs):
             it.output = out
             it.status = Status.SUCCESS

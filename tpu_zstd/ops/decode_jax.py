@@ -575,12 +575,16 @@ def execute_sequences_device(
     window: jax.Array,   # (B, W) uint8 decoded history (dictionary / prior blocks)
     out_size: int,
     win_size: int,
+    lit_src: tuple | None = None,
 ):
     """Regenerate block contents (RFC 8878 §3.1.1.4) fully in parallel.
 
     Returns (out (B, out_size) uint8, out_len (B,)). Matches may reference the
     window (positions before the block) and freshly-written output (overlap
     copies) — both resolved by pointer doubling over the source map.
+
+    lit_src = (syms (B*4, SEGC) uint8, regen (B,)): gather literal bytes
+    straight from 4-stream Huffman decoder rows (see pallas_exec).
     """
     B, MS = ll.shape
     N = out_size
@@ -648,7 +652,9 @@ def execute_sequences_device(
     hop = jnp.where(
         in_match, base + (pos[None, :] - base) % safe_off, pos[None, :] - off_at
     )
-    L = lits.shape[1]
+    # lit_src mode: the literal index space is sized by the output (indices
+    # translate to stream-row positions at the final gather).
+    L = lits.shape[1] if lit_src is None else N
     src = jnp.where(in_match, W + hop, -lit_idx - 1)
     # Window references resolve immediately: encode window byte w in [0, W)
     # as -(L + w) - 1 so the final gather splits the two terminal spaces.
@@ -679,10 +685,22 @@ def execute_sequences_device(
     # All sources now terminal (negative). Decode the two spaces.
     term = -src - 1  # literal index or L + window index
     from_window = term >= L
-    row_base_l = (jnp.arange(B, dtype=I32) * L)[:, None]
-    lit_gather = jnp.take(
-        lits.reshape(-1), (jnp.clip(term, 0, L - 1) + row_base_l).reshape(-1)
-    ).reshape(B, N)
+    if lit_src is not None:
+        syms, regen = lit_src
+        SEGC = syms.shape[1]
+        lidx = jnp.clip(term, 0, L - 1)
+        seg_b = jnp.maximum((regen.astype(I32) + 3) >> 2, 1)[:, None]
+        s = jnp.minimum(lidx // seg_b, 3)
+        jj = jnp.clip(lidx - s * seg_b, 0, SEGC - 1)
+        srow = jnp.arange(B, dtype=I32)[:, None] * 4 + s
+        lit_gather = jnp.take(
+            syms.reshape(-1), (srow * SEGC + jj).reshape(-1)
+        ).reshape(B, N)
+    else:
+        row_base_l = (jnp.arange(B, dtype=I32) * L)[:, None]
+        lit_gather = jnp.take(
+            lits.reshape(-1), (jnp.clip(term, 0, L - 1) + row_base_l).reshape(-1)
+        ).reshape(B, N)
     if W > 0:
         row_base_w = (jnp.arange(B, dtype=I32) * W)[:, None]
         win_gather = jnp.take(

@@ -99,8 +99,14 @@ def find_matches(
     win_start: jax.Array | int = 0,
     mf_win_log: int = 0,
     use_pallas_match: bool = False,
+    sample_log: int = 0,
 ) -> tuple[jax.Array, jax.Array]:
     """Best (capped) match per position: returns (best_ml, best_off), pos order.
+
+    sample_log > 0 (windowed mode only): only every 2^sample_log-th position
+    participates — sort rows shrink by the same factor (libzstd's fast-level
+    acceleration step; matches can then only start at, and reference, sampled
+    positions; unsampled positions fall out as literals).
 
     Ties prefer the smallest offset (the most recent previous occurrence),
     which keeps offsets repcode-friendly and lets the merge pass re-join
@@ -148,14 +154,15 @@ def find_matches(
         best_off = best_off.reshape(-1)
         best_ml = jnp.minimum(best_ml, jnp.maximum(n - pos, 0))
         return best_ml, best_off
+    SS = 1 << sample_log if (sample_log > 0 and windowed) else 1
     if windowed:
         W = 1 << mf_win_log
-        shape = (N // W, W)
-        h = h.reshape(shape)
-        live = live.reshape(shape)
-        words = [x.reshape(shape) for x in words]
-        pos_axis = jnp.arange(W, dtype=I32)
-        plog = mf_win_log
+        shape = (N // W, W // SS)
+        h = h.reshape(N // W, W)[:, ::SS]
+        live = live.reshape(N // W, W)[:, ::SS]
+        words = [x.reshape(N // W, W)[:, ::SS] for x in words]
+        pos_axis = jnp.arange(W // SS, dtype=I32)
+        plog = mf_win_log - sample_log if SS > 1 else mf_win_log
     else:
         shape = (N,)
         pos_axis = pos
@@ -209,10 +216,12 @@ def find_matches(
 
     # Clamp to block end (also cancels false matches into rolled-around words).
     if windowed:
-        gsp = sp + (jnp.arange(N // (1 << mf_win_log), dtype=I32) << mf_win_log)[:, None]
+        gsp = sp * SS + (jnp.arange(N // (1 << mf_win_log), dtype=I32) << mf_win_log)[:, None]
     else:
         gsp = sp
     best_ml = jnp.minimum(best_ml, jnp.maximum(n - gsp, 0))
+    if SS > 1:
+        best_off = best_off * SS  # sampled-index delta -> byte offset
 
     # Return to position order by sorting on position. (ml, off) ride as ONE
     # packed operand — sort cost grows ~linearly with operand count on v5e
@@ -220,7 +229,107 @@ def find_matches(
     assert cap < (1 << 11)  # ml field: 11 bits above the 20-bit offset
     packed = (best_ml << 20) | best_off
     _, opk = jax.lax.sort((sp, packed), num_keys=1, is_stable=False)
+    if SS > 1:
+        nwin = shape[0]
+        mlv = opk >> 20
+        offv = opk & ((1 << 20) - 1)
+        full = jnp.zeros((nwin, (1 << mf_win_log) // SS, SS), I32)
+        return (
+            full.at[:, :, 0].set(mlv).reshape(-1),
+            full.at[:, :, 0].set(offv).reshape(-1),
+        )
     return opk.reshape(-1) >> 20, opk.reshape(-1) & ((1 << 20) - 1)
+
+
+LDM_MIN = 16  # long-range matches must cover the 16-byte verification span
+
+
+def find_matches_long(
+    block: jax.Array,
+    n: jax.Array,
+    *,
+    hash_log2: int = 16,
+    sample_log: int = 2,
+    depth: int = 2,
+    win_start: jax.Array | int = 0,
+) -> tuple[jax.Array, jax.Array]:
+    """Sampled whole-block long-range match candidates (LDM).
+
+    TPU-native counterpart of the reference's long-distance matcher
+    (reference src/ldm_implementation.cu:67-170, include/cuda_zstd_ldm.h:
+    rolling-hash table over a large window, min-match 64): positions are
+    SAMPLED every 2^sample_log bytes and hashed over 8 bytes, so the sort
+    runs over N/2^sample_log rows — reach beyond the windowed matcher's
+    2^mf_win_log candidate horizon at ~1/4 of its sort cost. Matches verify
+    against 16 carried bytes (hash collisions cannot fabricate a match) and
+    merge-extension re-joins same-offset continuations, so the 16-byte cap
+    costs little on genuinely long matches.
+
+    Returns (ml, off) full-length arrays (zeros at unsampled positions).
+    """
+    N = block.shape[0]
+    SS = 1 << sample_log
+    P = N // SS
+    b = block.astype(U32)
+    w = (
+        b
+        | (jnp.roll(b, -1) << U32(8))
+        | (jnp.roll(b, -2) << U32(16))
+        | (jnp.roll(b, -3) << U32(24))
+    )
+    pos = jnp.arange(N, dtype=I32)
+    # 8-byte hash at sampled positions; 16 carried bytes for verification.
+    ws = [jnp.roll(w, -4 * k)[::SS] for k in range(4)]
+    h2 = (
+        ((ws[0] * U32(HASH_PRIME)) ^ (ws[1] * U32(0x85EBCA77)))
+        >> U32(32 - hash_log2)
+    )
+    spos = pos[::SS]
+    live = (spos < n - (LDM_MIN + 3)) & (spos >= win_start)
+    plog = max(1, (P - 1).bit_length())
+    assert hash_log2 + 1 + plog <= 32
+    idx = jnp.arange(P, dtype=U32)
+    key = (jnp.where(live, h2, U32(1) << hash_log2) << plog) | idx
+    sorted_ops = jax.lax.sort(
+        tuple([key] + [x.astype(I32) for x in ws]), num_keys=1, is_stable=False
+    )
+    sk = (sorted_ops[0] >> plog).astype(I32)
+    sp = (sorted_ops[0] & ((1 << plog) - 1)).astype(I32)
+    sw = sorted_ops[1:]
+
+    edge = jnp.arange(P, dtype=I32)
+
+    def _prev(x, d, fill):
+        r = jnp.roll(x, d)
+        return jnp.where(edge < d, fill, r)
+
+    best_ml = jnp.zeros(P, I32)
+    best_di = jnp.zeros(P, I32)
+    for d in range(1, depth + 1):
+        same = _prev(sk, d, -1) == sk
+        pp = _prev(sp, d, 0)
+        ml = jnp.zeros(P, I32)
+        alive = same
+        for k in range(4):
+            x = sw[k].astype(U32) ^ _prev(sw[k], d, 0).astype(U32)
+            inc = _word_inc(x)
+            ml = ml + jnp.where(alive, inc, 0)
+            alive = alive & (x == 0)
+        ok = ml >= LDM_MIN
+        better = ok & (ml > best_ml)
+        best_ml = jnp.where(better, ml, best_ml)
+        best_di = jnp.where(better, sp - pp, best_di)
+
+    # Back to position order: pack (ml <= 16: 5 bits) above the index delta.
+    packed = (best_ml << plog) | best_di
+    _, opk = jax.lax.sort((sp, packed), num_keys=1, is_stable=False)
+    s_ml = opk >> plog
+    s_off = (opk & ((1 << plog) - 1)) * SS
+    s_ml = jnp.minimum(s_ml, jnp.maximum(n - spos, 0))
+    # Spread to full position arrays (zeros at unsampled positions).
+    full_ml = jnp.zeros((P, SS), I32).at[:, 0].set(s_ml).reshape(-1)
+    full_off = jnp.zeros((P, SS), I32).at[:, 0].set(s_off).reshape(-1)
+    return full_ml, full_off
 
 
 def greedy_parse(
@@ -290,6 +399,8 @@ def parse_block(
     of_gate: tuple[int, int] = (99, 99),
     mf_win_log: int = 0,
     optimal: bool = False,
+    ldm: bool = False,
+    sample_log: int = 0,
 ) -> BlockSequences:
     """Greedy-parse one (padded) block into sequences. block: (N,) uint8/int32.
 
@@ -304,8 +415,16 @@ def parse_block(
 
     bml, boff = find_matches(
         block, n, hash_log=hash_log, depth=depth, cap=cap, win_start=win_start,
-        mf_win_log=mf_win_log,
+        mf_win_log=mf_win_log, sample_log=sample_log,
     )
+    if ldm and 0 < mf_win_log < max(1, (N - 1).bit_length()):
+        # Long-range supplement: candidates beyond the windowed matcher's
+        # horizon (reference LDM, src/ldm_implementation.cu). Taken only when
+        # strictly longer than the local match.
+        lml, loff = find_matches_long(block, n, win_start=win_start)
+        take_l = lml > bml
+        bml = jnp.where(take_l, lml, bml)
+        boff = jnp.where(take_l, loff, boff)
 
     # Truncate matches at segment boundaries so segments parse independently;
     # the merge pass below re-joins same-offset continuations.

@@ -136,6 +136,7 @@ def execute_sequences_pallas(
     out_size: int,
     win_size: int,
     interpret: bool = False,
+    lit_src: tuple | None = None,
 ):
     """Sequence execution: XLA literal placement + Pallas match copies.
 
@@ -144,6 +145,11 @@ def execute_sequences_pallas(
     are unspecified. Offsets are clamped to the available history (corrupt
     frames produce garbage output, never out-of-bounds access; checksums
     catch them downstream).
+
+    lit_src = (syms (B*4, SEGC) uint8, regen (B,)): read literals straight
+    out of the 4-stream Huffman decoder's per-stream symbol rows instead of a
+    pre-assembled (B, L) buffer — index arithmetic replaces the whole
+    assemble_literals_4stream gather (one fewer full-output gather pass).
     """
     from .scanops import cumsum_i32
 
@@ -176,11 +182,22 @@ def execute_sequences_pallas(
     in_match = cumsum_i32(diff[:, :N]) > 0
     match_before = cumsum_i32(in_match.astype(I32)) - in_match.astype(I32)
     lit_idx = pos[None, :] - match_before
-    L = lits.shape[1]
-    row_base_l = (jnp.arange(B, dtype=I32) * L)[:, None]
-    skel = jnp.take(
-        lits.reshape(-1), (jnp.clip(lit_idx, 0, L - 1) + row_base_l).reshape(-1)
-    ).reshape(B, N).astype(jnp.uint8)
+    if lit_src is not None:
+        syms, regen = lit_src
+        SEGC = syms.shape[1]
+        seg_b = jnp.maximum((regen.astype(I32) + 3) >> 2, 1)[:, None]
+        s = jnp.minimum(lit_idx // seg_b, 3)
+        j = jnp.clip(lit_idx - s * seg_b, 0, SEGC - 1)
+        srow = (jnp.arange(B, dtype=I32)[:, None] * 4 + s)
+        skel = jnp.take(
+            syms.reshape(-1), (srow * SEGC + j).reshape(-1)
+        ).reshape(B, N).astype(jnp.uint8)
+    else:
+        L = lits.shape[1]
+        row_base_l = (jnp.arange(B, dtype=I32) * L)[:, None]
+        skel = jnp.take(
+            lits.reshape(-1), (jnp.clip(lit_idx, 0, L - 1) + row_base_l).reshape(-1)
+        ).reshape(B, N).astype(jnp.uint8)
 
     # --- Compact match triples to the front; offsets clamped to history.
     MSP = _round_up(max(MS, CHS), CHS)

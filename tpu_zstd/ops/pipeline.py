@@ -56,6 +56,17 @@ class PipelineConfig:
     # (tools/win_sweep.py). Must be 0 in dictionary mode (the preloaded
     # window prefix has to stay visible to every position).
     mf_win_log: int = 13
+    # Sampled whole-block long-range pass (ops/lz77_jax.find_matches_long):
+    # recovers matches beyond the 2^mf_win_log candidate horizon at ~1/4 the
+    # windowed sort's cost (measured +12 ms per 64x128K batch on v5e; ratio-
+    # neutral on the mixed bench corpus, wins on long-range-redundant data).
+    # Default off; ratio-focused levels (>= 7) enable it. No-op when
+    # mf_win_log == 0 (full reach already).
+    ldm: bool = False
+    # Insertion subsampling (libzstd fast-level acceleration): every
+    # 2^sample_log-th position participates in match search — sort rows
+    # shrink by the same factor. FAST levels only (costs ratio).
+    sample_log: int = 0
 
     @property
     def eff_mf_win_log(self) -> int:
@@ -125,6 +136,8 @@ def _parse_one(block: jax.Array, n: jax.Array, cfg: PipelineConfig, dlen: jax.Ar
         of_gate=cfg.of_gate,
         mf_win_log=cfg.eff_mf_win_log,
         optimal=cfg.optimal,
+        ldm=cfg.ldm,
+        sample_log=cfg.sample_log,
     )
 
 

@@ -22,6 +22,7 @@ except ImportError:  # non-POSIX: fall back to thread-lock-only builds
 
 _CSRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "csrc")
 _SRC = os.path.join(_CSRC, "tpu_zstd_native.cpp")
+_SRC_ENGINE = os.path.join(_CSRC, "tpu_zstd_engine.cpp")
 _LIB = os.path.join(_CSRC, "build", "libtpu_zstd_native.so")
 
 _lock = threading.Lock()
@@ -35,10 +36,11 @@ def _build() -> bool:
     # its (unlinked) inode, and no process can ever load a half-written file.
     os.makedirs(os.path.dirname(_LIB), exist_ok=True)
     tmp = f"{_LIB}.tmp.{os.getpid()}"
+    srcs = [_SRC] + ([_SRC_ENGINE] if os.path.exists(_SRC_ENGINE) else [])
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", tmp],
-            check=True, capture_output=True, timeout=120,
+            ["g++", "-O3", "-shared", "-fPIC", *srcs, "-o", tmp],
+            check=True, capture_output=True, timeout=180,
         )
         os.replace(tmp, _LIB)
         return True
@@ -59,7 +61,12 @@ def _ensure_built() -> bool:
         return False
 
     def stale() -> bool:
-        return not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
+        if not os.path.exists(_LIB):
+            return True
+        newest = max(
+            os.path.getmtime(s) for s in (_SRC, _SRC_ENGINE) if os.path.exists(s)
+        )
+        return os.path.getmtime(_LIB) < newest
 
     if not stale():
         return True
@@ -105,8 +112,87 @@ def get_native() -> ctypes.CDLL | None:
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
         ]
+        try:
+            lib.tz_engine_create.restype = ctypes.c_void_p
+            lib.tz_engine_create.argtypes = [ctypes.c_int]
+            lib.tz_engine_destroy.argtypes = [ctypes.c_void_p]
+            lib.tz_engine_set_checksum.argtypes = [ctypes.c_void_p, ctypes.c_int]
+            lib.tz_engine_set_block_size.argtypes = [ctypes.c_void_p, ctypes.c_int]
+            lib.tz_engine_compress.restype = ctypes.c_int64
+            lib.tz_engine_compress.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64,
+            ]
+            lib.tz_engine_decompress.restype = ctypes.c_int64
+            lib.tz_engine_decompress.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64,
+            ]
+            lib.tz_engine_compress_bound.restype = ctypes.c_int64
+            lib.tz_engine_compress_bound.argtypes = [ctypes.c_int64]
+            lib.tz_engine_decompressed_size.restype = ctypes.c_int64
+            lib.tz_engine_decompressed_size.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+            lib.tz_engine_validate.restype = ctypes.c_int32
+            lib.tz_engine_validate.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+            lib.tz_engine_get_stats.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+            lib.tz_engine_reset.argtypes = [ctypes.c_void_p]
+            lib.tz_engine_error_string.restype = ctypes.c_char_p
+            lib.tz_engine_error_string.argtypes = [ctypes.c_int32]
+        except AttributeError:
+            pass  # stale lib without the engine; rebuilt on next stale check
         _lib = lib
         return _lib
+
+
+class NativeEngine:
+    """Python handle over the C engine (the reference's C API surface,
+    reference include/cuda_zstd_manager.h:433-479). None-safe: use
+    NativeEngine.create() and check for None when the toolchain is absent."""
+
+    __slots__ = ("_lib", "_h")
+
+    @classmethod
+    def create(cls, level: int = 3, checksum: bool = False, block_size: int = 0):
+        lib = get_native()
+        if lib is None or not hasattr(lib, "tz_engine_create"):
+            return None
+        h = lib.tz_engine_create(int(level))
+        if not h:
+            return None
+        eng = cls()
+        eng._lib = lib
+        eng._h = h
+        lib.tz_engine_set_checksum(h, 1 if checksum else 0)
+        if block_size:
+            lib.tz_engine_set_block_size(h, int(block_size))
+        return eng
+
+    def compress(self, data: bytes) -> bytes | None:
+        cap = self._lib.tz_engine_compress_bound(len(data))
+        out = ctypes.create_string_buffer(cap)
+        n = self._lib.tz_engine_compress(self._h, bytes(data), len(data), out, cap)
+        return out.raw[:n] if n >= 0 else None
+
+    def decompress(self, frame: bytes, max_output: int) -> bytes | None:
+        out = ctypes.create_string_buffer(max(max_output, 1))
+        n = self._lib.tz_engine_decompress(
+            self._h, bytes(frame), len(frame), out, max_output
+        )
+        return out.raw[:n] if n >= 0 else None
+
+    def stats(self) -> tuple[int, int, int, int]:
+        buf = (ctypes.c_int64 * 4)()
+        self._lib.tz_engine_get_stats(self._h, buf)
+        return tuple(buf)
+
+    def reset(self) -> None:
+        self._lib.tz_engine_reset(self._h)
+
+    def __del__(self):
+        try:
+            self._lib.tz_engine_destroy(self._h)
+        except Exception:
+            pass
 
 
 def xxh64(data: bytes, seed: int = 0) -> int:
