@@ -62,20 +62,6 @@ def test_manager_cpu_path(corpus, dctx):
         assert dctx.decompress(c, max_output_size=len(data)) == data
 
 
-def test_levels_all_decode(dctx):
-    data = b"level sweep data - the quick brown fox " * 500
-    sizes = {}
-    for level in (1, 3, 5, 9, 12, 19, 22):
-        cfg = CompressionConfig.from_level(level)
-        cfg.block_size = 16384
-        cfg.hash_log = min(cfg.hash_log, 14)
-        with Manager(config=cfg, execution_path=ExecutionPath.TPU_BATCH) as m:
-            c = m.compress(data)
-        assert dctx.decompress(c, max_output_size=len(data)) == data, f"L{level}"
-        sizes[level] = len(c)
-    assert sizes[22] <= sizes[1], "higher level should not be worse here"
-
-
 def test_batch_manager(corpus, dctx):
     items = [corpus["text"], corpus["rle"], corpus["random_4k"], b"", b"x"]
     with BatchManager(config=SMALL) as bm:
@@ -251,11 +237,3 @@ def test_ldm_cross_block_window(dctx):
     assert len(with_ldm) < len(without) // 2
 
 
-def test_lazy_levels_decode(dctx):
-    data = b"abcabcabcabcxyzxyzabcabc" * 400
-    cfg = CompressionConfig.from_level(7)  # LAZY2 strategy
-    cfg.block_size = 4096
-    cfg.hash_log = 13
-    with Manager(config=cfg, execution_path=ExecutionPath.TPU_BATCH) as m:
-        c = m.compress(data)
-    assert dctx.decompress(c, max_output_size=len(data)) == data

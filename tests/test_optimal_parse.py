@@ -67,8 +67,10 @@ def test_kernel_matches_scan_interpret():
     ml[rng.random((S, seg)) < 0.5] = 0
     ofc = rng.integers(0, 21, (S, seg))
     packed = jnp.asarray(ml | (ofc << 7), I32)
-    want = np.asarray(_opt_scan(packed, 4, 32))
-    got = np.asarray(_opt_impl(packed.T, 4, 32, True).T)
+    # mixed per-block literal prices exercise the lit_bits input
+    lit_bits = jnp.asarray(rng.integers(3, 9, S), I32)
+    want = np.asarray(_opt_scan(packed, lit_bits, 4, 32))
+    got = np.asarray(_opt_impl(packed.T, lit_bits, 4, 32, True).T)
     np.testing.assert_array_equal(got, want)
 
 

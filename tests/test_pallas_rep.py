@@ -44,7 +44,7 @@ def _oracle(offs, lls):
 
 def _pack(offs, lls, valid):
     return jnp.asarray(
-        np.where(valid, offs | ((lls > 0) << 20) | (1 << 21), 0), I32
+        np.where(valid, offs | ((lls > 0) << 21) | (1 << 22), 0), I32
     )
 
 

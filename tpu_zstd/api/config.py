@@ -121,6 +121,12 @@ class CompressionConfig:
             p = dict(strategy=Strategy.BTOPT, hash_log=18, search_depth=16, compare_cap=64)
         else:
             p = dict(strategy=Strategy.BTULTRA, hash_log=18, search_depth=20, compare_cap=64)
+        # NOTE: enable_ldm (cross-block 64 KB windows via the sampled LDM
+        # pass) stays OPT-IN at every level: blocks compress independently by
+        # default, exactly like the reference GPU (its multi-GPU/window modes
+        # are likewise explicit). Auto-enabling it at ratio levels was
+        # measured nearly ratio-neutral on the mixed corpus while multiplying
+        # the windowed-path compile surface.
         return cls(level=level, **p)
 
     def validate(self) -> Status:

@@ -237,9 +237,22 @@ def compress_items_tpu(
     pcfg = _pipeline_config(cfg)
     N = pcfg.block_size
     windowed = cfg.enable_ldm or history is not None
+    # 64 KB cross-block reach (a 256 KB ladder was measured ratio-NEGATIVE on
+    # the mixed corpus: the extra LDM rows dilute the chain without matching
+    # redundancy at those distances).
     dcap = LDM_WINDOW_CAP if windowed else 0
     if windowed:
-        pcfg = PipelineConfig(**{**pcfg.__dict__, "dict_cap": dcap})
+        # enable_ldm keeps the cheap windowed local search and reaches the
+        # cross-block prefix through the sampled LDM pass (>= 16-byte
+        # verified matches — the bulk of the full-window ratio advantage).
+        # Streaming history / dictionary preloads keep full-reach search so
+        # short matches into the preload stay available.
+        extra = (
+            {"ldm": True, "ldm_window": True}
+            if cfg.enable_ldm and history is None
+            else {}
+        )
+        pcfg = PipelineConfig(**{**pcfg.__dict__, "dict_cap": dcap, **extra})
 
     spans: list[tuple[int, int]] = []  # (first_block, nblocks) per item
     all_blocks: list[np.ndarray] = []

@@ -252,6 +252,7 @@ def find_matches_long(
     sample_log: int = 2,
     depth: int = 2,
     win_start: jax.Array | int = 0,
+    nwords: int = 4,
 ) -> tuple[jax.Array, jax.Array]:
     """Sampled whole-block long-range match candidates (LDM).
 
@@ -278,24 +279,37 @@ def find_matches_long(
         | (jnp.roll(b, -3) << U32(24))
     )
     pos = jnp.arange(N, dtype=I32)
-    # 8-byte hash at sampled positions; 16 carried bytes for verification.
-    ws = [jnp.roll(w, -4 * k)[::SS] for k in range(4)]
+    plog = max(1, (P - 1).bit_length())
+    # 8-byte hash at sampled positions; 4*nwords carried bytes verify and
+    # measure the match (lengths cap at 4*nwords; the merge pass extends).
+    ws = [jnp.roll(w, -4 * k)[::SS] for k in range(nwords)]
     h2 = (
         ((ws[0] * U32(HASH_PRIME)) ^ (ws[1] * U32(0x85EBCA77)))
         >> U32(32 - hash_log2)
     )
     spos = pos[::SS]
     live = (spos < n - (LDM_MIN + 3)) & (spos >= win_start)
-    plog = max(1, (P - 1).bit_length())
-    assert hash_log2 + 1 + plog <= 32
     idx = jnp.arange(P, dtype=U32)
-    key = (jnp.where(live, h2, U32(1) << hash_log2) << plog) | idx
-    sorted_ops = jax.lax.sort(
-        tuple([key] + [x.astype(I32) for x in ws]), num_keys=1, is_stable=False
-    )
-    sk = (sorted_ops[0] >> plog).astype(I32)
-    sp = (sorted_ops[0] & ((1 << plog) - 1)).astype(I32)
-    sw = sorted_ops[1:]
+    if hash_log2 + 1 + plog <= 32:
+        key = (jnp.where(live, h2, U32(1) << hash_log2) << plog) | idx
+        sorted_ops = jax.lax.sort(
+            tuple([key] + [x.astype(I32) for x in ws]), num_keys=1, is_stable=False
+        )
+        sk = (sorted_ops[0] >> plog).astype(I32)
+        sp = (sorted_ops[0] & ((1 << plog) - 1)).astype(I32)
+        sw = sorted_ops[1:]
+    else:
+        # Large windows (256 KB+ LDM reach): the packed key would squeeze the
+        # hash below ~15 bits and drown the chain in collisions — sort with
+        # (hash, idx) as two keys instead.
+        key = jnp.where(live, h2, U32(1) << hash_log2)
+        sorted_ops = jax.lax.sort(
+            tuple([key, idx] + [x.astype(I32) for x in ws]),
+            num_keys=2, is_stable=False,
+        )
+        sk = sorted_ops[0].astype(I32)
+        sp = sorted_ops[1].astype(I32)
+        sw = sorted_ops[2:]
 
     edge = jnp.arange(P, dtype=I32)
 
@@ -310,7 +324,7 @@ def find_matches_long(
         pp = _prev(sp, d, 0)
         ml = jnp.zeros(P, I32)
         alive = same
-        for k in range(4):
+        for k in range(nwords):
             x = sw[k].astype(U32) ^ _prev(sw[k], d, 0).astype(U32)
             inc = _word_inc(x)
             ml = ml + jnp.where(alive, inc, 0)
@@ -320,7 +334,8 @@ def find_matches_long(
         best_ml = jnp.where(better, ml, best_ml)
         best_di = jnp.where(better, sp - pp, best_di)
 
-    # Back to position order: pack (ml <= 16: 5 bits) above the index delta.
+    # Back to position order: pack ml (<= 4*nwords: 6 bits at 8) above the
+    # index delta.
     packed = (best_ml << plog) | best_di
     _, opk = jax.lax.sort((sp, packed), num_keys=1, is_stable=False)
     s_ml = opk >> plog
@@ -413,14 +428,37 @@ def parse_block(
     N = block.shape[0]
     pos = jnp.arange(N, dtype=I32)
 
-    bml, boff = find_matches(
-        block, n, hash_log=hash_log, depth=depth, cap=cap, win_start=win_start,
-        mf_win_log=mf_win_log, sample_log=sample_log,
+    payload_only = (
+        ldm
+        and isinstance(block_start, int)
+        and block_start > 0
+        and 0 < mf_win_log < max(1, (N - 1).bit_length())
+        and (N - block_start) % (1 << mf_win_log) == 0
     )
+    if payload_only:
+        # LDM-window mode: the dict/window prefix is reachable ONLY through
+        # the sampled long-range pass, so the windowed matcher runs on the
+        # payload slice alone — prefix bytes add ZERO rows to the hot sorts
+        # (a 768 KB window would otherwise multiply them 7x).
+        bml_p, boff_p = find_matches(
+            block[block_start:], n - block_start, hash_log=hash_log,
+            depth=depth, cap=cap, win_start=0, mf_win_log=mf_win_log,
+            sample_log=sample_log,
+        )
+        zpad = jnp.zeros((block_start,), I32)
+        bml = jnp.concatenate([zpad, bml_p])
+        boff = jnp.concatenate([zpad, boff_p])
+    else:
+        bml, boff = find_matches(
+            block, n, hash_log=hash_log, depth=depth, cap=cap, win_start=win_start,
+            mf_win_log=mf_win_log, sample_log=sample_log,
+        )
     if ldm and 0 < mf_win_log < max(1, (N - 1).bit_length()):
         # Long-range supplement: candidates beyond the windowed matcher's
         # horizon (reference LDM, src/ldm_implementation.cu). Taken only when
-        # strictly longer than the local match.
+        # strictly longer than the local match — long offsets cost ~log2(off)
+        # extra bits, so equal-length local matches must win (measured: a
+        # tie-prefers-LDM rule cost 3.5% ratio on the mixed corpus).
         lml, loff = find_matches_long(block, n, win_start=win_start)
         take_l = lml > bml
         bml = jnp.where(take_l, lml, bml)
@@ -436,8 +474,13 @@ def parse_block(
     if optimal:
         # BTOPT-style exact segment DP over the candidate set (levels 16-22,
         # ops/pallas_opt.py): replaces the greedy/lazy/of_gate heuristics with
-        # a static bit-cost minimization; the walk then executes its choices
-        # (a chosen step < ml_t deliberately shortens the match).
+        # a bit-cost minimization; the walk then executes its choices
+        # (a chosen step < ml_t deliberately shortens the match). The DP
+        # accepts a per-block literal price (pallas_opt lit_bits); a whole-
+        # block entropy estimate was MEASURED ratio-negative (2.589 vs 2.627
+        # flat on the mixed corpus — residual literals after matching are not
+        # distributed like the block average), so the tuned flat price stays
+        # until real post-parse literal costs are fed back.
         from .fse_jax import highbit32_jnp
         from .pallas_opt import opt_steps
 
@@ -485,17 +528,19 @@ def parse_block(
     sel_key = jnp.where(is_seq, pos, jnp.where(is_lit, N + pos, 2 * N + pos))
     # ONE payload operand: the sorted key itself encodes pos (seq rows sort to
     # the front with key == pos, so starts = key[:max_seqs]); the payload only
-    # needs (ml<<20|off) on seq rows and the literal byte on lit rows — the
+    # needs (ml<<21|off) on seq rows and the literal byte on lit rows — the
     # row classes are disjoint. Sort cost is ~linear in operand count.
-    pk = jnp.where(is_seq, (ml_t << 20) | boff, block.astype(I32))
+    # (21-bit offsets: LDM-window prefixes push offsets past 1 MB.)
+    assert cap < (1 << 10)  # ml field: 10 bits above the 21-bit offset
+    pk = jnp.where(is_seq, (ml_t << 21) | boff, block.astype(I32))
     e_key, e_pk = _sort_unique(sel_key, pk)
     from .bitpack import dynroll_left
 
     nseq_pre = jnp.sum(is_seq.astype(I32))
     lits = dynroll_left(e_pk & 0xFF, nseq_pre, N).astype(jnp.uint8)
     starts = e_key[:max_seqs]
-    mls = e_pk[:max_seqs] >> 20
-    offs = e_pk[:max_seqs] & ((1 << 20) - 1)
+    mls = e_pk[:max_seqs] >> 21
+    offs = e_pk[:max_seqs] & ((1 << 21) - 1)
     k = jnp.arange(max_seqs, dtype=I32)
     valid = k < nseq
     starts = jnp.where(valid, starts, 0)
@@ -539,7 +584,7 @@ def parse_block(
     # frame (RFC 8878 §3.1.1.5) — so matches only fire on entries established
     # in-block; the first sequence always spells its offset.
     packed_rep = jnp.where(
-        valid2, off2 | ((ll2 > 0).astype(I32) << 20) | (1 << 21), 0
+        valid2, off2 | ((ll2 > 0).astype(I32) << 21) | (1 << 22), 0
     )
     if jax.default_backend() == "tpu":
         from .pallas_rep import rep_codes

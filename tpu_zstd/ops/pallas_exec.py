@@ -96,20 +96,33 @@ def _exec_kernel(nmatch_ref, skel_ref, win_ref, mpack_hbm, out_ref,
 
         def seq_body(s, _):
             dst = dst_s[s]
+            ln = len_s[s]
             ofv = jnp.maximum(off_s[s], 1)
+            fast = (ln <= CH) & (ofv >= ln)
 
-            def copy_body(st):
-                d, rem, P = st
-                c = jnp.minimum(jnp.minimum(rem, CH), P)
-                data = read128(W + d - P)
-                write128(W + d, data, c)
-                # Double the period multiple only after a FULL-P copy (the
-                # periodic region then provably extends past d - 2P).
-                return (d + c, rem - c, jnp.where(c == P, P + P, P))
+            # Fast path — the overwhelmingly common case (average match is
+            # ~10-30 bytes, offsets usually exceed the length): ONE unguarded
+            # 128-byte copy, no loop machinery.
+            @pl.when(fast)
+            def _():
+                data = read128(W + dst - ofv)
+                write128(W + dst, data, ln)
 
-            jax.lax.while_loop(
-                lambda st: st[1] > 0, copy_body, (dst, len_s[s], ofv)
-            )
+            @pl.when(jnp.logical_not(fast))
+            def _():
+                def copy_body(st):
+                    d, rem, P = st
+                    c = jnp.minimum(jnp.minimum(rem, CH), P)
+                    data = read128(W + d - P)
+                    write128(W + d, data, c)
+                    # Double the period multiple only after a FULL-P copy (the
+                    # periodic region then provably extends past d - 2P).
+                    return (d + c, rem - c, jnp.where(c == P, P + P, P))
+
+                jax.lax.while_loop(
+                    lambda st: st[1] > 0, copy_body, (dst, ln, ofv)
+                )
+
             return 0
 
         n_here = jnp.clip(nm - ck * CHS, 0, CHS)

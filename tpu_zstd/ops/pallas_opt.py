@@ -36,7 +36,7 @@ I32 = jnp.int32
 LANES = 128
 GB = 8  # sublane group (Mosaic block shapes need sublane multiples of 8)
 
-LIT_BITS = 6        # flat per-literal price (entropy-coded literals)
+LIT_BITS = 6        # default per-literal price when no estimate is supplied
 MATCH_BASE = 11     # LL+ML+OF symbol + amortized state bits
 BIG = 1 << 24
 
@@ -58,16 +58,17 @@ def _make_kernel(seg: int, mm: int, cap: int):
     lengths = list(range(mm, cap + 1))
     R = cap + 2  # cost ring: slot q%R holds cost[q] for q in [p+1, p+cap+1]
 
-    def kernel(in_ref, out_ref, cost_ref):
+    def kernel(in_ref, lit_ref, out_ref, cost_ref):
         # Ring slots start at 0 == cost beyond the segment end.
         cost_ref[...] = jnp.zeros_like(cost_ref)
+        lit_bits = lit_ref[...]  # per-lane (per-block) literal price
 
         def step(i, _):
             p = seg - 1 - i
             x = in_ref[p]
             ml = x & 127
             mc = MATCH_BASE + ((x >> 7) & 31)
-            best = LIT_BITS + cost_ref[(p + 1) % R]
+            best = lit_bits + cost_ref[(p + 1) % R]
             chosen = jnp.ones((GB, LANES), I32)
             for l in lengths:
                 c = jnp.where(ml >= l, mc + _mlx(l) + cost_ref[(p + l) % R], BIG)
@@ -84,8 +85,9 @@ def _make_kernel(seg: int, mm: int, cap: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
-def _opt_impl(packed_t: jax.Array, mm: int, cap: int, interpret: bool):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _opt_impl(packed_t: jax.Array, lit_bits: jax.Array, mm: int, cap: int,
+              interpret: bool):
     seg, S = packed_t.shape
     cells = S // (GB * LANES)
     spec = lambda dt: pl.BlockSpec(  # noqa: E731
@@ -95,15 +97,21 @@ def _opt_impl(packed_t: jax.Array, mm: int, cap: int, interpret: bool):
         _make_kernel(seg, mm, cap),
         out_shape=jax.ShapeDtypeStruct((seg, cells * GB, LANES), jnp.uint8),
         grid=(cells,),
-        in_specs=[spec(I32)],
+        in_specs=[
+            spec(I32),
+            pl.BlockSpec((GB, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
         out_specs=spec(jnp.uint8),
         scratch_shapes=[pltpu.VMEM((cap + 2, GB, LANES), I32)],
         interpret=interpret,
-    )(packed_t.reshape(seg, cells * GB, LANES))
+    )(
+        packed_t.reshape(seg, cells * GB, LANES),
+        lit_bits.reshape(cells * GB, LANES),
+    )
     return out.reshape(seg, S).astype(I32)
 
 
-def _opt_scan(packed: jax.Array, mm: int, cap: int) -> jax.Array:
+def _opt_scan(packed: jax.Array, lit_bits: jax.Array, mm: int, cap: int) -> jax.Array:
     """lax.scan reference DP (backend-independent): packed (S, seg) -> steps."""
     S, seg = packed.shape
     x = packed.T  # (seg, S)
@@ -113,7 +121,7 @@ def _opt_scan(packed: jax.Array, mm: int, cap: int) -> jax.Array:
     def step(window, inp):
         # window[j] = cost[p + 1 + j] for j in [0, cap]
         ml_p, mc_p = inp
-        best = LIT_BITS + window[0]
+        best = lit_bits + window[0]
         chosen = jnp.ones((S,), I32)
         for l in range(mm, cap + 1):
             c = jnp.where(ml_p >= l, mc_p + _mlx(l) + window[l - 1], BIG)
@@ -131,28 +139,47 @@ def _opt_scan(packed: jax.Array, mm: int, cap: int) -> jax.Array:
 @functools.lru_cache(maxsize=None)
 def _opt_steps_fn(mm: int, cap: int):
     @jax.custom_batching.custom_vmap
-    def f(packed: jax.Array) -> jax.Array:
+    def f(packed: jax.Array, lit_bits: jax.Array) -> jax.Array:
         S, seg = packed.shape
         if jax.default_backend() != "tpu":
-            return _opt_scan(packed, mm, cap)
+            return _opt_scan(packed, lit_bits, mm, cap)
         TILE = GB * LANES
         pad = (-S) % TILE
         if pad:
             packed = jnp.concatenate([packed, jnp.zeros((pad, seg), I32)], axis=0)
-        out = _opt_impl(packed.T, mm, cap, False).T
+            lit_bits = jnp.concatenate(
+                [lit_bits, jnp.full((pad,), LIT_BITS, I32)], axis=0
+            )
+        out = _opt_impl(packed.T, lit_bits, mm, cap, False).T
         return out[:S] if pad else out
 
     @f.def_vmap
-    def _vmap(axis_size, in_batched, packed):
+    def _vmap(axis_size, in_batched, packed, lit_bits):
         if not in_batched[0]:
             packed = jnp.broadcast_to(packed, (axis_size,) + packed.shape)
+        if not in_batched[1]:
+            lit_bits = jnp.broadcast_to(lit_bits, (axis_size,) + lit_bits.shape)
         B, S, seg = packed.shape
-        return f(packed.reshape(B * S, seg)).reshape(B, S, seg), True
+        return (
+            f(packed.reshape(B * S, seg), lit_bits.reshape(B * S)).reshape(B, S, seg),
+            True,
+        )
 
     return f
 
 
-def opt_steps(packed: jax.Array, mm: int, cap: int) -> jax.Array:
+def opt_steps(packed: jax.Array, mm: int, cap: int,
+              lit_bits: jax.Array | None = None) -> jax.Array:
     """DP over (S, seg) packed segments -> (S, seg) chosen steps
-    (1 = literal, else take the match at that length)."""
-    return _opt_steps_fn(mm, cap)(packed)
+    (1 = literal, else take the match at that length).
+
+    lit_bits: per-segment-row literal price in bits (e.g. the block's byte
+    entropy — text literals cost ~4-5 bits while the flat default prices them
+    at 6, mis-weighting literal-vs-match tradeoffs). Scalar rows broadcast.
+    """
+    S = packed.shape[0]
+    if lit_bits is None:
+        lit_bits = jnp.full((S,), LIT_BITS, I32)
+    else:
+        lit_bits = jnp.broadcast_to(lit_bits.astype(I32), (S,))
+    return _opt_steps_fn(mm, cap)(packed, lit_bits)

@@ -15,7 +15,7 @@ a known-flag and matches are only taken against entries whose value was
 established inside the block. The decoder's history VALUES evolve identically
 either way, so emitted frames stay stock-libzstd-decodable.
 
-Input per sequence row, packed i32:  off | has_lit << 20 | valid << 21
+Input per sequence row, packed i32:  off | has_lit << 21 | valid << 22
 Output: offset-base value (1..3 or off + 3), 0 on invalid rows.
 """
 
@@ -32,16 +32,16 @@ I32 = jnp.int32
 LANES = 128
 GB = 8
 
-M20 = (1 << 20) - 1
+M21 = (1 << 21) - 1
 
 
 def _rep_step(x, state):
     """One encode_offset step on (…,) i32 vectors. state = (v0,v1,v2,k0,k1,k2)
     with k* in {0,1}. Returns (ob, new_state)."""
     v0, v1, v2, k0, k1, k2 = state
-    off = x & M20
-    has_ll = (x >> 20) & 1
-    valid = (x >> 21) & 1
+    off = x & M21
+    has_ll = (x >> 21) & 1
+    valid = (x >> 22) & 1
 
     h0 = (k0 == 1) & (off == v0)
     h1 = (k1 == 1) & (off == v1)

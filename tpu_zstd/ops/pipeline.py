@@ -63,6 +63,12 @@ class PipelineConfig:
     # Default off; ratio-focused levels (>= 7) enable it. No-op when
     # mf_win_log == 0 (full reach already).
     ldm: bool = False
+    # Cross-block window mode that KEEPS the cheap windowed local search:
+    # the dict_cap prefix is reachable only through the LDM pass (>= 16-byte
+    # verified matches) instead of forcing full-block sorts. The big-ratio
+    # lever for multi-block items — libzstd's full-window advantage over
+    # per-block-independent compression is mostly long matches.
+    ldm_window: bool = False
     # Insertion subsampling (libzstd fast-level acceleration): every
     # 2^sample_log-th position participates in match search — sort rows
     # shrink by the same factor. FAST levels only (costs ratio).
@@ -70,7 +76,9 @@ class PipelineConfig:
 
     @property
     def eff_mf_win_log(self) -> int:
-        return 0 if self.dict_cap else self.mf_win_log
+        if self.dict_cap and not (self.ldm_window and self.ldm):
+            return 0  # prefix must stay visible to every position
+        return self.mf_win_log
 
     @property
     def max_seqs(self) -> int:
