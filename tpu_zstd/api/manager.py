@@ -46,7 +46,9 @@ def _pipeline_config(cfg: CompressionConfig):
         min_match=cfg.min_match,
         lazy=cfg.strategy >= 4,          # Strategy.LAZY and up
         optimal=cfg.strategy >= 7,       # Strategy.BTOPT and up (levels 16+)
-        huffman_literals=cfg.level >= 3,  # FAST levels trade ratio for speed
+        # All levels entropy-code literals, like libzstd (raw-lit fast levels
+        # measured -10-16% ratio for a modest assemble-stage cost).
+        huffman_literals=True,
         of_gate=(8, 12) if cfg.level >= 3 else (99, 99),
         # Ratio-focused levels widen the candidate window instead of going
         # full-block: a 16 KB window keys (hash << 14 | pos) into one i32 and
