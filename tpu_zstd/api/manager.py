@@ -51,10 +51,10 @@ def _pipeline_config(cfg: CompressionConfig):
         huffman_literals=True,
         of_gate=(8, 12) if cfg.level >= 3 else (99, 99),
         # Ratio-focused levels widen the candidate window instead of going
-        # full-block: a 16 KB window keys (hash << 14 | pos) into one i32 and
-        # keeps the sort compile tractable (the full-block two-key 17-operand
-        # sort at width 128K took > 20 min to compile on v5e).
-        mf_win_log=13 if cfg.level <= 6 else 14,
+        # full-block (a 128K-wide two-key 17-operand sort took > 20 min to
+        # compile on v5e; 32K windows stay tractable). Measured at the L16
+        # shape: win 13 -> 14 -> 15 = 2.633 -> 2.682 -> 2.713.
+        mf_win_log=13 if cfg.level <= 6 else (14 if cfg.level <= 9 else 15),
         ckpt_every=ACCEL_STRIDE if cfg.decode_accel else 0,
         # Level-1 acceleration (libzstd's fast-negative-level step): every
         # 2nd position searches, halving the match-finder's sort rows for
