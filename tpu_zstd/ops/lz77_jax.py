@@ -521,26 +521,97 @@ def parse_block(
     nseq = jnp.sum(is_seq.astype(I32))
 
     # Extraction via ONE compaction-sort shared with the literal compaction:
-    # sequences first (position order), then literal bytes, then the rest —
-    # the literal run is re-aligned to the front with static rolls (one sort
-    # of N rows replaces the previous two).
-    nlit = jnp.sum(is_lit.astype(I32))
-    sel_key = jnp.where(is_seq, pos, jnp.where(is_lit, N + pos, 2 * N + pos))
-    # ONE payload operand: the sorted key itself encodes pos (seq rows sort to
-    # the front with key == pos, so starts = key[:max_seqs]); the payload only
-    # needs (ml<<21|off) on seq rows and the literal byte on lit rows — the
-    # row classes are disjoint. Sort cost is ~linear in operand count.
+    # sequences first (position order), then literal bytes, then the rest.
     # (21-bit offsets: LDM-window prefixes push offsets past 1 MB.)
+    nlit = jnp.sum(is_lit.astype(I32))
     assert cap < (1 << 10)  # ml field: 10 bits above the 21-bit offset
     pk = jnp.where(is_seq, (ml_t << 21) | boff, block.astype(I32))
-    e_key, e_pk = _sort_unique(sel_key, pk)
-    from .bitpack import dynroll_left
+    ew_log = mf_win_log if (
+        0 < mf_win_log
+        and (1 << mf_win_log) < N
+        and N % (1 << mf_win_log) == 0
+    ) else 0
+    if ew_log:
+        # Windowed extraction: the compaction-sort runs along the SAME short
+        # 2^mf_win_log axis as the match-finder sorts (~2.3x cheaper per row
+        # than the full-block axis on v5e), then the per-window sequence
+        # segments and literal runs concatenate with one Pallas rotate each
+        # (ops/pallas_roll.py) at cumsum offsets — 3*nwin cheap passes
+        # replacing the most expensive sort axis in the parse stage.
+        from .bitpack import dynroll, place
 
-    nseq_pre = jnp.sum(is_seq.astype(I32))
-    lits = dynroll_left(e_pk & 0xFF, nseq_pre, N).astype(jnp.uint8)
-    starts = e_key[:max_seqs]
-    mls = e_pk[:max_seqs] >> 21
-    offs = e_pk[:max_seqs] & ((1 << 21) - 1)
+        W = 1 << ew_log
+        nwin = N // W
+        # Seq starts per window cap (starts are >= min_match apart), rounded
+        # to 128 lanes for the Pallas concat.
+        SC = min(-(-(-(-W // max(min_match, 1)) // 128)) * 128, W)
+        lpos = jax.lax.broadcasted_iota(I32, (nwin, W), 1)
+        isq = is_seq.reshape(nwin, W)
+        isl = is_lit.reshape(nwin, W)
+        selk = jnp.where(isq, lpos, jnp.where(isl, W + lpos, 2 * W + lpos))
+        e_key_w, e_pk_w = jax.lax.sort(
+            (selk, pk.reshape(nwin, W)), num_keys=1, is_stable=False
+        )
+        nseq_w = jnp.sum(isq.astype(I32), axis=1)
+        nlit_w = jnp.sum(isl.astype(I32), axis=1)
+        S_w = jnp.cumsum(nseq_w) - nseq_w  # exclusive prefix sums
+        L_w = jnp.cumsum(nlit_w) - nlit_w
+        nseq_pre = S_w[-1] + nseq_w[-1]
+        zero_w = jnp.zeros((nwin,), I32)
+        # Per-window segment concat: seq rows sit at [0, nseq_w), literal
+        # bytes at [nseq_w, nseq_w + nlit_w) of each sorted window row.
+        startsw = e_key_w[:, :SC] + (jnp.arange(nwin, dtype=I32) << ew_log)[:, None]
+        pkw = e_pk_w[:, :SC]
+        if (
+            jax.default_backend() == "tpu"
+            and N % 128 == 0
+            and max_seqs % 128 == 0
+            and SC % 128 == 0
+        ):
+            # One Pallas pass per array (ops/pallas_concat.py) instead of
+            # nwin full-width rotates each.
+            from .pallas_concat import concat_varlen
+
+            lits = concat_varlen(e_pk_w & 0xFF, nseq_w, nlit_w, N).astype(jnp.uint8)
+            starts = concat_varlen(startsw, zero_w, nseq_w, max_seqs)
+            pk_acc = concat_varlen(pkw, zero_w, nseq_w, max_seqs)
+        else:
+            lit_rows = jnp.where(
+                (lpos >= nseq_w[:, None]) & (lpos < (nseq_w + nlit_w)[:, None]),
+                e_pk_w & 0xFF,
+                0,
+            )
+            lits_acc = jnp.zeros((N,), I32)
+            zpadw = jnp.zeros((N - W,), I32)
+            for w in range(nwin):
+                row = jnp.concatenate([lit_rows[w], zpadw])
+                lits_acc = lits_acc + dynroll(row, (L_w[w] - nseq_w[w]) % N, N)
+            lits = lits_acc.astype(jnp.uint8)
+            starts_acc = jnp.zeros((max_seqs,), I32)
+            pk_acc = jnp.zeros((max_seqs,), I32)
+            for w in range(nwin):
+                starts_acc = starts_acc + place(
+                    startsw[w], nseq_w[w], S_w[w], max_seqs, max_seqs
+                )
+                pk_acc = pk_acc + place(pkw[w], nseq_w[w], S_w[w], max_seqs, max_seqs)
+            starts = starts_acc
+        mls = pk_acc >> 21
+        offs = pk_acc & ((1 << 21) - 1)
+    else:
+        # ONE payload operand: the sorted key itself encodes pos (seq rows
+        # sort to the front with key == pos, so starts = key[:max_seqs]); the
+        # payload only needs (ml<<21|off) on seq rows and the literal byte on
+        # lit rows — the row classes are disjoint. Sort cost is ~linear in
+        # operand count.
+        sel_key = jnp.where(is_seq, pos, jnp.where(is_lit, N + pos, 2 * N + pos))
+        e_key, e_pk = _sort_unique(sel_key, pk)
+        from .bitpack import dynroll_left
+
+        nseq_pre = jnp.sum(is_seq.astype(I32))
+        lits = dynroll_left(e_pk & 0xFF, nseq_pre, N).astype(jnp.uint8)
+        starts = e_key[:max_seqs]
+        mls = e_pk[:max_seqs] >> 21
+        offs = e_pk[:max_seqs] & ((1 << 21) - 1)
     k = jnp.arange(max_seqs, dtype=I32)
     valid = k < nseq
     starts = jnp.where(valid, starts, 0)
