@@ -110,7 +110,11 @@ class CompressionConfig:
         if level <= 2:
             p = dict(strategy=Strategy.FAST, hash_log=15, search_depth=1, compare_cap=16)
         elif level <= 4:
-            p = dict(strategy=Strategy.LAZY, hash_log=17, search_depth=8, compare_cap=32)
+            # Carried-word count (compare_cap / 4) is a REAL sort cost on v5e
+            # (tools/sample_ab.py sweep 2026-08-21): cap 32 -> 12 at depth 12
+            # was +37% throughput for -0.4% ratio; the same-offset merge pass
+            # re-joins matches truncated at the cap.
+            p = dict(strategy=Strategy.LAZY, hash_log=17, search_depth=12, compare_cap=12)
         elif level <= 6:
             p = dict(strategy=Strategy.LAZY, hash_log=17, search_depth=8, compare_cap=64)
         elif level <= 9:

@@ -155,12 +155,21 @@ def find_matches(
         best_ml = jnp.minimum(best_ml, jnp.maximum(n - pos, 0))
         return best_ml, best_off
     SS = 1 << sample_log if (sample_log > 0 and windowed) else 1
+    pb = None
     if windowed:
         W = 1 << mf_win_log
         shape = (N // W, W // SS)
         h = h.reshape(N // W, W)[:, ::SS]
         live = live.reshape(N // W, W)[:, ::SS]
         words = [x.reshape(N // W, W)[:, ::SS] for x in words]
+        if SS > 1:
+            # Left-extension operand: the byte PRECEDING each sampled
+            # position (sentinel 256 at position 0). A candidate pair whose
+            # preceding bytes also match extends the match one byte left —
+            # recovering most matches that start at unsampled positions
+            # (libzstd's acceleration step simply loses them).
+            pb = jnp.roll(block.astype(I32), 1).at[0].set(256)
+            pb = pb.reshape(N // W, W)[:, ::SS]
         pos_axis = jnp.arange(W // SS, dtype=I32)
         plog = mf_win_log - sample_log if SS > 1 else mf_win_log
     else:
@@ -176,18 +185,23 @@ def find_matches(
     # still pair as chain candidates — the n-sp clamp below caps any such
     # match under min_match.
     lpos = jnp.broadcast_to(pos_axis, shape)
+    extra = [pb] if pb is not None else []
     if hash_log + 1 + plog <= 32:
         key = ((jnp.where(live, h, 1 << hash_log).astype(U32)) << plog) | lpos.astype(U32)
-        sorted_ops = jax.lax.sort(tuple([key] + words), num_keys=1, is_stable=False)
+        sorted_ops = jax.lax.sort(
+            tuple([key] + words + extra), num_keys=1, is_stable=False
+        )
         sk = (sorted_ops[0] >> plog).astype(I32)
         sp = (sorted_ops[0] & ((1 << plog) - 1)).astype(I32)
+        sw = sorted_ops[1 : 1 + nwords]
     else:
         key = jnp.where(live, h, 1 << hash_log)
         sorted_ops = jax.lax.sort(
-            tuple([key, lpos] + words), num_keys=2, is_stable=False
+            tuple([key, lpos] + words + extra, ), num_keys=2, is_stable=False
         )
         sk, sp = sorted_ops[0], sorted_ops[1]
-    sw = sorted_ops[-nwords:]
+        sw = sorted_ops[2 : 2 + nwords]
+    spb = sorted_ops[-1] if pb is not None else None
 
     # Select-based edge fill: .at[:, :d].set(fill) lowers to dynamic-update-
     # slices that XLA fused into a 21M-cycle kLoop at 64x128KB (15 ms, the
@@ -200,6 +214,7 @@ def find_matches(
 
     best_ml = jnp.zeros(shape, dtype=I32)
     best_off = jnp.zeros(shape, dtype=I32)
+    best_ext = jnp.zeros(shape, dtype=bool) if pb is not None else None
     for d in range(1, depth + 1):
         same = _prev(sk, d, -1) == sk
         pp = _prev(sp, d, 0)
@@ -213,6 +228,9 @@ def find_matches(
         better = ml > best_ml
         best_ml = jnp.where(better, ml, best_ml)
         best_off = jnp.where(better, sp - pp, best_off)
+        if best_ext is not None:
+            ext_d = same & (spb == _prev(spb, d, -2))
+            best_ext = jnp.where(better, ext_d, best_ext)
 
     # Clamp to block end (also cancels false matches into rolled-around words).
     if windowed:
@@ -223,21 +241,34 @@ def find_matches(
     if SS > 1:
         best_off = best_off * SS  # sampled-index delta -> byte offset
 
-    # Return to position order by sorting on position. (ml, off) ride as ONE
-    # packed operand — sort cost grows ~linearly with operand count on v5e
-    # (tools/sort_micro.py), and ml <= cap <= 63 / off < N <= 2^20 both fit.
+    # Return to position order by sorting on position. (ml, off[, ext]) ride
+    # as ONE packed operand — sort cost grows ~linearly with operand count on
+    # v5e (tools/sort_micro.py); ml <= cap <= 63 / off < 2^20 both fit.
     assert cap < (1 << 11)  # ml field: 11 bits above the 20-bit offset
     packed = (best_ml << 20) | best_off
+    if best_ext is not None:
+        assert cap < (1 << 6)  # leave bit 26 for the left-extension flag
+        packed = packed | (best_ext.astype(I32) << 26)
     _, opk = jax.lax.sort((sp, packed), num_keys=1, is_stable=False)
     if SS > 1:
         nwin = shape[0]
-        mlv = opk >> 20
+        mlv = (opk >> 20) & 63
         offv = opk & ((1 << 20) - 1)
+        extv = opk >> 26
         full = jnp.zeros((nwin, (1 << mf_win_log) // SS, SS), I32)
-        return (
-            full.at[:, :, 0].set(mlv).reshape(-1),
-            full.at[:, :, 0].set(offv).reshape(-1),
-        )
+        ml_f = full.at[:, :, 0].set(mlv).reshape(-1)
+        off_f = full.at[:, :, 0].set(offv).reshape(-1)
+        ext_f = full.at[:, :, 0].set(extv).reshape(-1)
+        # Left-extension fill: unsampled position q takes (ml+1, off) from
+        # its sampled successor p = q+1 when p's winning candidate also
+        # matched one byte left. (The roll wraps position 0's flag to N-1,
+        # where the n-pos clamp already kills any match.)
+        nx_ml = jnp.roll(ml_f, -1)
+        nx_off = jnp.roll(off_f, -1)
+        take = (jnp.roll(ext_f, -1) > 0) & (nx_ml > 0) & (ml_f == 0)
+        ml_f = jnp.where(take, jnp.minimum(nx_ml + 1, jnp.maximum(n - pos, 0)), ml_f)
+        off_f = jnp.where(take, nx_off, off_f)
+        return ml_f, off_f
     return opk.reshape(-1) >> 20, opk.reshape(-1) & ((1 << 20) - 1)
 
 
@@ -526,10 +557,12 @@ def parse_block(
     nlit = jnp.sum(is_lit.astype(I32))
     assert cap < (1 << 10)  # ml field: 10 bits above the 21-bit offset
     pk = jnp.where(is_seq, (ml_t << 21) | boff, block.astype(I32))
-    ew_log = mf_win_log if (
+    # The extraction window is independent of the match window (pure
+    # mechanics, ratio-neutral): shorter sort axes are cheaper per row.
+    ew_log = min(mf_win_log, 11) if (
         0 < mf_win_log
-        and (1 << mf_win_log) < N
-        and N % (1 << mf_win_log) == 0
+        and (1 << min(mf_win_log, 11)) < N
+        and N % (1 << min(mf_win_log, 11)) == 0
     ) else 0
     if ew_log:
         # Windowed extraction: the compaction-sort runs along the SAME short

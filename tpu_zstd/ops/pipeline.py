@@ -36,8 +36,10 @@ class PipelineConfig:
 
     block_size: int = BLOCK_SIZE_MAX
     hash_log: int = 17
-    depth: int = 8
-    cap: int = 32
+    depth: int = 12
+    # Carried sort words = cap/4: a real cost (tools/sample_ab.py sweep) —
+    # 12 beats 32 by +37% throughput for -0.4% ratio at the L3 shape.
+    cap: int = 12
     min_match: int = 4
     lazy: bool = True  # 1-step lazy parse (Strategy.LAZY and up)
     optimal: bool = False  # BTOPT-style segment DP (Strategy.BTOPT and up)
