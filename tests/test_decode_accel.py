@@ -90,6 +90,21 @@ def test_chunked_device_decode_bit_exact(corpus, accel_frames):
         assert bytes(out[i][: len(item)]) == item
 
 
+def test_prepared_plan_repeated_executes(corpus, accel_frames):
+    """DecompressPlan: parse/upload once, execute() is repeatable and exact
+    (the reference's preallocated repeated-decode pattern, manager.h:193-273)."""
+    from tpu_zstd.api.decompress import prepare_decompress_batch
+
+    plan = prepare_decompress_batch(accel_frames, max_block=N)
+    for _ in range(2):
+        out, lens = plan.execute()
+        out = np.asarray(out)
+        lens = np.asarray(lens)
+        for i, item in enumerate(corpus):
+            assert lens[i] == len(item)
+            assert bytes(out[i][: len(item)]) == item
+
+
 def test_device_huffman_literal_decode():
     """4-stream Huffman literals decode fully on device from published
     cursors (no host literal decode, no decoded-literal upload)."""

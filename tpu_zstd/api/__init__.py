@@ -21,6 +21,11 @@ from .hybrid import (
     RoutingMode,
     detect_location,
 )
+from .decompress import (
+    DecompressPlan,
+    decompress_batch_to_device,
+    prepare_decompress_batch,
+)
 from .manager import (
     BatchItem,
     BatchManager,
@@ -33,6 +38,9 @@ from .manager import (
 __all__ = [
     "Backend",
     "BatchItem",
+    "DecompressPlan",
+    "decompress_batch_to_device",
+    "prepare_decompress_batch",
     "BatchManager",
     "ChecksumPolicy",
     "CompressionConfig",
