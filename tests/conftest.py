@@ -15,8 +15,40 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+import signal
+
 import numpy as np
 import pytest
+
+DEFAULT_TIMEOUT_S = 900
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "timeout(seconds): per-test wall-clock limit (SIGALRM)"
+    )
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_call(item):
+    """Per-test wall-clock limit via SIGALRM (pytest-timeout is not in this
+    image). A hung compile/TPU call raises instead of wedging the whole
+    worker — a suite that stalls silently cannot gate correctness."""
+    limit = DEFAULT_TIMEOUT_S
+    m = item.get_closest_marker("timeout")
+    if m and m.args:
+        limit = int(m.args[0])
+
+    def _on_alarm(signum, frame):
+        raise TimeoutError(f"test exceeded {limit}s wall-clock limit")
+
+    old = signal.signal(signal.SIGALRM, _on_alarm)
+    signal.alarm(limit)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 
 @pytest.fixture(scope="session")

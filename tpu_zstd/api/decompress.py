@@ -387,6 +387,12 @@ class DecompressPlan:
     def __init__(self, runners, nf, inv):
         self._runners = runners  # [(zero-arg device fn, group size), ...]
         self._nf = nf
+        # Upload the regrouping permutation once — execute() must stay free
+        # of H2D transfers (its documented steady-state contract).
+        if inv is not None:
+            import jax.numpy as jnp
+
+            inv = jnp.asarray(inv)
         self._inv = inv  # None when a single group covers all frames
 
     def execute(self):
@@ -400,7 +406,7 @@ class DecompressPlan:
         for run, cnt in self._runners:
             out_g, len_g = run()
             parts.append((out_g[:cnt], len_g[:cnt]))
-        inv = jnp.asarray(self._inv)
+        inv = self._inv
         out = jnp.concatenate([p[0] for p in parts], axis=0)[inv]
         out_len = jnp.concatenate([p[1] for p in parts], axis=0)[inv]
         return out, out_len

@@ -106,7 +106,9 @@ def _exec_kernel(nseq_ref, nlit_ref, lit_ref, win_ref, spack_hbm, out_ref,
     lbuf[:LR, :] = lit_ref[0].astype(I32)
 
     ns = nseq_ref[b]
-    nl = nlit_ref[b]
+    # Clamp the literal count to the staged buffer width (malformed frames
+    # must never drive the literal cursor past lbuf).
+    nl = jnp.minimum(nlit_ref[b], LR * CH)
     base = b * 3 * MSP
 
     def chunk_body(ck, carry):
@@ -121,13 +123,20 @@ def _exec_kernel(nseq_ref, nlit_ref, lit_ref, win_ref, spack_hbm, out_ref,
 
         def seq_body(s, st):
             lc, oc = st
-            llv = jnp.clip(ll_s[s], 0, N - oc)
+            # Literal copy clamped to BOTH output capacity and the literal
+            # buffer (corrupt ll values must not walk the cursor past lbuf's
+            # LR+1 scratch rows — VMEM OOB otherwise).
+            llv = jnp.clip(jnp.minimum(ll_s[s], nl - lc), 0, N - oc)
             mlv = ml_s[s]
             copy_lits(lc, oc, llv)
             lc = lc + llv
             oc = oc + llv
             mlv = jnp.clip(mlv, 0, N - oc)
-            ofv = jnp.clip(of_s[s], 1, W + oc)
+            # Degenerate history (W + oc == 0): no bytes exist to match from;
+            # drop the match instead of letting the copy loop spin at P == 0
+            # forever (clip with lo > hi yields hi == 0).
+            mlv = jnp.where(W + oc == 0, 0, mlv)
+            ofv = jnp.maximum(jnp.minimum(of_s[s], W + oc), 1)
             fast = (mlv <= CH) & (ofv >= mlv)
 
             # Fast path — the overwhelmingly common case (average match is
@@ -184,7 +193,12 @@ def assemble_literals_rotates(
     B = B4 // 4
     x = syms.reshape(B, 4, SEGC).astype(I32)
     seg = jnp.maximum((regen.astype(I32) + 3) >> 2, 1)
-    cnts = jnp.stack([seg, seg, seg, jnp.maximum(regen.astype(I32) - 3 * seg, 0)], 1)
+    # Per-stream counts clamped so they sum to regen (tiny regen <= 2 would
+    # otherwise place 3 garbage stream symbols past the true literal count).
+    rg = regen.astype(I32)
+    cnts = jnp.stack(
+        [jnp.clip(rg - s * seg, 0, seg) for s in range(4)], 1
+    )
     offs = jnp.concatenate(
         [jnp.zeros((B, 1), I32), jnp.cumsum(cnts, axis=1)[:, :3]], axis=1
     )
