@@ -26,15 +26,19 @@ plan = D.prepare_decompress_batch(frames, max_block=N)
 print(f"groups: {len(plan._runners)}  sizes: {[c for _, c in plan._runners]}")
 
 
-def timed(name, fn, reps=3):
+def timed(name, fn, reps=3, K=4):
+    """Pipelined timing: K dispatches in flight, one device_get sync of a
+    tiny slice at the end (block_until_ready does not sync on this axon
+    platform — see tools/base_micro.py). Reported per-dispatch."""
     out = fn()
-    jax.block_until_ready(out)
+    jax.device_get(np.asarray(jax.tree.leaves(out)[0][:1]).ravel()[:4])
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn()
-        jax.block_until_ready(out)
-        ts.append(time.perf_counter() - t0)
+        outs = [fn() for _ in range(K)]
+        for o in outs:
+            jax.device_get(np.asarray(jax.tree.leaves(o)[0][:1]).ravel()[:4])
+        ts.append((time.perf_counter() - t0) / K)
     print(f"{name:28s} {min(ts) * 1000:8.1f} ms")
     return out
 
@@ -61,3 +65,15 @@ for run, cnt in plan._runners:
     if dl is not None:
         timed(f"  lit decode (n={cnt})", lambda: dl())
     timed(f"  run() full (n={cnt})", lambda: run()[1])
+
+# Pipelined steady state (the bench's own protocol): K executes in flight,
+# one sync at the end — amortizes the ~25 ms host round-trip.
+K = 4
+plan.execute()
+t0 = time.perf_counter()
+pend = [plan.execute() for _ in range(K)]
+for _, lens in pend:
+    jax.device_get(lens[:1])
+dt = (time.perf_counter() - t0) / K
+print(f"pipelined execute x{K}: {dt * 1e3:8.1f} ms/exec  "
+      f"{B * N / dt / 1e9:6.3f} GB/s")

@@ -101,7 +101,9 @@ def main() -> None:
         best = 1e9
         for _ in range(5):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(*args))
+            o2, l2 = fn(*args)
+            jax.device_get(l2)          # axon: block_until_ready does not sync
+            jax.device_get(o2[0, :1])
             best = min(best, time.perf_counter() - t0)
         gbps = B * BS / best / 1e9
         print(f"{name:7s} correct={ok}  best={best*1e3:8.2f} ms  {gbps:6.3f} GB/s")

@@ -77,260 +77,128 @@ def _read_wide(streams, bits_left, n):
     return (hi << jnp.minimum(n, 16)) | lo, bits_left
 
 
-@functools.partial(jax.jit, static_argnums=(5,))
-def decode_sequences_device(
-    streams: jax.Array,      # (B, S) uint8 sequence bitstreams
-    total_bits: jax.Array,   # (B,) data bits (sentinel stripped)
-    tables: SeqTables,
-    nseq: jax.Array,         # (B,)
-    rep_init: jax.Array,     # (B, 3) initial repeat offsets
-    max_seqs: int,
-):
-    """Decode interleaved FSE sequences for a batch of blocks.
+def _onehot_lookup(state: jax.Array, table_f32: jax.Array) -> jax.Array:
+    """Batched table lookup as a one-hot MXU contraction (gather-free).
 
-    Implemented as a lax.scan (ys append into the output buffers — carrying
-    the (B, max_seqs) outputs through a while_loop copies them every
-    iteration, measured ~40us/iter on v5e vs ~3us for scan). The scan length
-    is bucketed by max(nseq) via a batch-level lax.switch.
-
-    Returns (ll, ml, off, rep_final): (B, max_seqs) resolved values.
+    state: (B, K, N) int32 indices < S; table_f32: (B, K, S) float32 with
+    entries < 2^24 (f32-exact). Returns (B, K, N) int32 values. On this
+    chip's XLA, element gathers run at ~120-140M elem/s while this
+    contraction exceeds 2G lookups/s (tools/base_micro.py) — the decode
+    scans are built around it.
     """
-    B = streams.shape[0]
-    rows = jnp.arange(B, dtype=I32)
-    ll_base = jnp.asarray(LL_BASELINE.astype(np.int32))
-    ll_bits = jnp.asarray(LL_BITS.astype(np.int32))
-    ml_base = jnp.asarray(ML_BASELINE.astype(np.int32))
-    ml_bits = jnp.asarray(ML_BITS.astype(np.int32))
+    S = table_f32.shape[-1]
+    iota = jnp.arange(S, dtype=I32)
+    oh = (state[..., None] == iota).astype(jnp.float32)
+    v = jnp.einsum(
+        "bkns,bks->bkn", oh, table_f32, preferred_element_type=jnp.float32
+    )
+    return v.astype(I32)
 
-    # Pack the byte stream into LE u32 words once (2 gathers per read).
+
+def _onehot_lookup_const(idx: jax.Array, table_f32: jax.Array) -> jax.Array:
+    """Lookup into one shared constant table: idx (R,), table (S,) f32."""
+    S = table_f32.shape[0]
+    oh = (idx[:, None] == jnp.arange(S, dtype=I32)[None, :]).astype(jnp.float32)
+    return (oh @ table_f32).astype(I32)
+
+
+def _pack_words(streams: jax.Array) -> jax.Array:
+    """(B, S) uint8 LE byte streams -> (B, ceil(S/4)) uint32 LE words."""
     S = streams.shape[1]
     pad = (-S) % 4
     sb = jnp.pad(streams, ((0, 0), (0, pad + 4))).astype(U32)
-    words = (
-        sb[:, 0::4][:, : (S + pad) // 4]
-        | (sb[:, 1::4][:, : (S + pad) // 4] << 8)
-        | (sb[:, 2::4][:, : (S + pad) // 4] << 16)
-        | (sb[:, 3::4][:, : (S + pad) // 4] << 24)
+    n = (S + pad) // 4
+    return (
+        sb[:, 0::4][:, :n]
+        | (sb[:, 1::4][:, :n] << 8)
+        | (sb[:, 2::4][:, :n] << 16)
+        | (sb[:, 3::4][:, :n] << 24)
     )
 
-    tl = tables.table_log
-    bits_left = total_bits
-    st_ll, bits_left = _read_bits(words, bits_left, tl[:, 0])
-    st_of, bits_left = _read_bits(words, bits_left, tl[:, 1])
-    st_ml, bits_left = _read_bits(words, bits_left, tl[:, 2])
 
-    # Pack (symbol, nb_bits, new_state) into one word per table entry: the
-    # three per-stream lookups in the loop body hit the SAME state index, so
-    # one gather replaces three (symbol <= 52: 6b, nb <= 9: 4b, state < 512).
-    packed_tab = (
-        jnp.clip(tables.symbol, 0, 63)
-        | (jnp.clip(tables.nb_bits, 0, 15) << 6)
-        | (tables.new_state << 10)
-    )
+# LL/ML value tables packed as base | bits << 17 (max < 2^22: f32-exact) so
+# the scan body resolves baseline AND extra-bit count with ONE shared-constant
+# one-hot contraction instead of four (R,) gathers per step.
+_LL_PACKED = (LL_BASELINE.astype(np.int64) | (LL_BITS.astype(np.int64) << 17)).astype(np.float32)
+_ML_PACKED = (ML_BASELINE.astype(np.int64) | (ML_BITS.astype(np.int64) << 17)).astype(np.float32)
 
-    def tab(field, stream_idx, state):
-        return field[rows, stream_idx, jnp.clip(state, 0, TSIZE_MAX - 1)]
-
-    SW = words.shape[1]
-    WIN = 5
-
-    def _fetch_window(bits_left):
-        """One 5-word slice per row covering every read of one loop step
-        (<= 89 bits consumed per step; the window always spans >= 97)."""
-        top_w = jnp.clip((bits_left - 1) >> 5, 0, SW - 1)
-        base_w = jnp.clip(top_w - 3, 0, max(SW - WIN, 0))
-        idx = base_w[:, None] + jnp.arange(WIN, dtype=I32)[None, :]
-        win = jnp.take_along_axis(words, jnp.minimum(idx, SW - 1), axis=1)
-        return win, base_w * 32
-
-    def _read_local(win, base_bit, bits_left, n):
-        nl = bits_left - n
-        rel = jnp.maximum(nl - base_bit, 0)
-        r = jnp.clip(rel >> 5, 0, WIN - 2)
-        sh = (rel & 31).astype(U32)
-        w0 = jnp.zeros_like(bits_left).astype(U32)
-        w1 = jnp.zeros_like(bits_left).astype(U32)
-        for k in range(WIN - 1):
-            w0 = jnp.where(r == k, win[:, k], w0)
-            w1 = jnp.where(r == k, win[:, k + 1], w1)
-        v = (w0 >> sh) | ((w1 << U32(1)) << (U32(31) - sh))
-        mask = jnp.where(
-            n >= 32, U32(0xFFFFFFFF), (U32(1) << jnp.minimum(n, 31).astype(U32)) - U32(1)
-        )
-        return (v & mask).astype(I32), nl
-
-    def _read_local_wide(win, base_bit, bits_left, n):
-        n1 = jnp.maximum(n - 16, 0)
-        hi, bits_left = _read_local(win, base_bit, bits_left, n1)
-        n2 = jnp.minimum(n, 16)
-        lo, bits_left = _read_local(win, base_bit, bits_left, n2)
-        return (hi << jnp.minimum(n, 16)) | lo, bits_left
-
-    def body(carry, t):
-        (bits_left, st_ll, st_of, st_ml, rep) = carry
-        active = t < nseq
-        p_of = tab(packed_tab, 1, st_of)
-        p_ml = tab(packed_tab, 2, st_ml)
-        p_ll = tab(packed_tab, 0, st_ll)
-        ofc, llc, mlc = p_of & 63, p_ll & 63, p_ml & 63
-        win, base_bit = _fetch_window(bits_left)
-        # OF extra (wide), then ML extra, then LL extra.
-        ofx, bl = _read_local_wide(win, base_bit, bits_left, jnp.where(active, ofc, 0))
-        ofv = jnp.where(ofc > 0, (1 << jnp.minimum(ofc, 30)) + ofx, 1)
-        mlx, bl = _read_local(win, base_bit, bl, jnp.where(active, ml_bits[jnp.clip(mlc, 0, 52)], 0))
-        ml = ml_base[jnp.clip(mlc, 0, 52)] + mlx
-        llx, bl = _read_local(win, base_bit, bl, jnp.where(active, ll_bits[jnp.clip(llc, 0, 35)], 0))
-        ll = ll_base[jnp.clip(llc, 0, 35)] + llx
-        # Repcode resolution (mirrors format/sequences.py resolve_offset):
-        #   ofv>3 -> off=ofv-3, rep'=[off,r0,r1]
-        #   idx=0 -> r0 (unchanged) | idx=1 -> [r1,r0,r2] | idx=2 -> [r2,r0,r1]
-        #   idx=3 -> off=r0-1, rep'=[off,r0,r1]
-        r0, r1, r2 = rep[:, 0], rep[:, 1], rep[:, 2]
-        idx = ofv - 1 + (ll == 0).astype(I32)
-        off_rep = jnp.where(
-            idx == 0, r0,
-            jnp.where(idx == 1, r1, jnp.where(idx == 2, r2, jnp.maximum(r0 - 1, 1))),
-        )
-        is_lit_off = ofv > 3
-        off = jnp.where(is_lit_off, ofv - 3, off_rep)
-        n1 = jnp.where(is_lit_off, r0, jnp.where(idx == 0, r1, r0))
-        n2 = jnp.where(is_lit_off, r1, jnp.where(idx <= 1, r2, r1))
-        rep_new = jnp.stack([off, n1, n2], axis=1)
-        rep = jnp.where(active[:, None], rep_new, rep)
-        # State updates (LL, ML, OF order) — skipped for the final sequence.
-        upd = active & (t < nseq - 1)
-        v, bl = _read_local(win, base_bit, bl, jnp.where(upd, (p_ll >> 6) & 15, 0))
-        st_ll = jnp.where(upd, (p_ll >> 10) + v, st_ll)
-        v, bl = _read_local(win, base_bit, bl, jnp.where(upd, (p_ml >> 6) & 15, 0))
-        st_ml = jnp.where(upd, (p_ml >> 10) + v, st_ml)
-        v, bl = _read_local(win, base_bit, bl, jnp.where(upd, (p_of >> 6) & 15, 0))
-        st_of = jnp.where(upd, (p_of >> 10) + v, st_of)
-        bits_left = jnp.where(active, bl, bits_left)
-        ys = (
-            jnp.where(active, ll, 0),
-            jnp.where(active, ml, 0),
-            jnp.where(active, off, 0),
-        )
-        return (bits_left, st_ll, st_of, st_ml, rep), ys
-
-    init = (bits_left, st_ll, st_of, st_ml, rep_init)
-    bmax = jnp.max(nseq)
-    buckets = [b for b in (1024, 4096, 16384, 24576, 32768) if b < max_seqs] + [max_seqs]
-    bidx = jnp.int32(0)
-    for b in buckets[:-1]:
-        bidx = bidx + (bmax > b).astype(jnp.int32)
-
-    def mk(msb):
-        def branch(_):
-            carry, (o_ll, o_ml, o_off) = jax.lax.scan(
-                body, init, jnp.arange(msb, dtype=I32), unroll=4
-            )
-            padw = ((0, 0), (0, max_seqs - msb))
-            return (
-                jnp.pad(o_ll.T, padw),
-                jnp.pad(o_ml.T, padw),
-                jnp.pad(o_off.T, padw),
-                carry[4],
-            )
-
-        return branch
-
-    return jax.lax.switch(bidx, [mk(b) for b in buckets], None)
+_SEQ_WIN = 8   # words per bitstream window (covers 2 decode steps: <= 178 bits)
+_SEQ_PAIR = 2  # decode steps per window fetch
 
 
-@functools.partial(jax.jit, static_argnums=(7, 8, 9))
-def decode_sequences_device_chunked(
-    streams: jax.Array,     # (B, S) uint8 sequence bitstreams
-    total_bits: jax.Array,  # (B,) data bits (sentinel stripped)
+def _decode_seqs_core(
+    words: jax.Array,       # (B, SW) u32 packed streams
+    total_bits: jax.Array,  # (B,)
     tables: SeqTables,
     nseq: jax.Array,        # (B,)
-    ck_bits: jax.Array,     # (B, NC-?) checkpoint bit cursors (chunk c -> c-1)
-    ck_states: jax.Array,   # (B, NC-?) packed ll | of<<10 | ml<<20
-    ck_rep: jax.Array,      # (B, NC-?, 3) exact rep triple before the chunk
-    stride: int,            # sequences per chunk (accel metadata stride)
-    num_chunks: int,        # static chunk count (>= ceil(max nseq / stride))
-    max_seqs: int,
+    rep_rows: jax.Array,    # (R, 3) initial rep triple per chunk row
+    ck_bits: jax.Array | None,    # (B, NC-1) or None when NC == 1
+    ck_states: jax.Array | None,  # (B, NC-1) packed ll | of<<10 | ml<<20
+    stride: int,
+    NC: int,
 ):
-    """Chunk-parallel FSE sequence decode from encoder-published checkpoints.
+    """Shared chunk-row FSE sequence decode scan (NC=1 == whole-block serial).
 
-    The serial decoder (decode_sequences_device) walks one bit-serial chain
-    per block — fine for huge batches, but a batch of 64 leaves the VPU
-    ~entirely idle. With decode-acceleration metadata (format/accel.py) every
-    chunk of `stride` sequences knows its starting bit cursor, FSE states AND
-    the full repeat-offset triple, so the scan runs only `stride` steps over
-    B*num_chunks independent rows — the TPU equivalent of the reference's
-    speculative chunk-parallel FSE decode (reference
-    src/cuda_zstd_fse.cu:2674-3283), but exact instead of speculative, and
-    correct for arbitrary repcode usage (each chunk seeds the decoder's exact
-    rep state, computed at encode time by fse_jax._rep_prefix). Returns
-    (ll, ml, off, rep_final) shaped like the serial decoder ((B, max_seqs);
-    rep_final is the initial rep — single-shot frames only).
+    TPU design notes (measured, tools/base_micro.py): element gathers run at
+    ~120-140M elem/s on this chip while one-hot MXU contractions exceed
+    2G lookups/s, so every table access (FSE decode tables, LL/ML value
+    tables) is a one-hot contraction; the only remaining gather is the
+    bitstream window — one 8-word fetch per TWO decode steps (<= 178 bits).
+
+    Returns (ll, ml, off) each (stride, R) plus the final carry rep (R, 3).
     """
-    B = streams.shape[0]
-    NC = num_chunks
+    B, SW = words.shape
     R = B * NC
-    ll_base = jnp.asarray(LL_BASELINE.astype(np.int32))
-    ll_bits = jnp.asarray(LL_BITS.astype(np.int32))
-    ml_base = jnp.asarray(ML_BASELINE.astype(np.int32))
-    ml_bits = jnp.asarray(ML_BITS.astype(np.int32))
-
-    S = streams.shape[1]
-    pad = (-S) % 4
-    sb = jnp.pad(streams, ((0, 0), (0, pad + 4))).astype(U32)
-    words = (
-        sb[:, 0::4][:, : (S + pad) // 4]
-        | (sb[:, 1::4][:, : (S + pad) // 4] << 8)
-        | (sb[:, 2::4][:, : (S + pad) // 4] << 16)
-        | (sb[:, 3::4][:, : (S + pad) // 4] << 24)
-    )
-    SW = words.shape[1]
+    assert stride % _SEQ_PAIR == 0
     words_flat = words.reshape(-1)
 
-    # Chunk 0 of each block initializes from the stream top (like the serial
-    # path); chunks c >= 1 from checkpoint record c-1.
     tl = tables.table_log
     bl0 = total_bits
     st_ll0, bl0 = _read_bits(words, bl0, tl[:, 0])
     st_of0, bl0 = _read_bits(words, bl0, tl[:, 1])
     st_ml0, bl0 = _read_bits(words, bl0, tl[:, 2])
 
-    blk = jnp.repeat(jnp.arange(B, dtype=I32), NC)        # (R,)
-    cix = jnp.tile(jnp.arange(NC, dtype=I32), B)          # (R,)
-    first = cix == 0
-    ckb = jnp.pad(ck_bits, ((0, 0), (0, max(0, NC - 1 - ck_bits.shape[1]))))[:, : NC - 1]
-    cks = jnp.pad(ck_states, ((0, 0), (0, max(0, NC - 1 - ck_states.shape[1]))))[:, : NC - 1]
-    ckr = jnp.pad(
-        ck_rep,
-        ((0, 0), (0, max(0, NC - 1 - ck_rep.shape[1])), (0, 0)),
-        constant_values=1,
-    )[:, : NC - 1]
-    ckb_r = jnp.pad(ckb, ((0, 0), (1, 0))).reshape(-1)    # record c-1 at cix=c
-    cks_r = jnp.pad(cks, ((0, 0), (1, 0))).reshape(-1)
-    ckr_r = jnp.pad(ckr, ((0, 0), (1, 0), (0, 0)), constant_values=1).reshape(-1, 3)
-    bits_left = jnp.where(first, bl0[blk], ckb_r.astype(I32))
-    st_ll = jnp.where(first, st_ll0[blk], (cks_r & 0x3FF).astype(I32))
-    st_of = jnp.where(first, st_of0[blk], ((cks_r >> 10) & 0x3FF).astype(I32))
-    st_ml = jnp.where(first, st_ml0[blk], ((cks_r >> 20) & 0x3FF).astype(I32))
-
     packed_tab = (
         jnp.clip(tables.symbol, 0, 63)
         | (jnp.clip(tables.nb_bits, 0, 15) << 6)
         | (tables.new_state << 10)
-    )  # (B, 3, TSIZE_MAX)
-    pt_flat = packed_tab.reshape(-1)
-    tab_base = blk * (3 * TSIZE_MAX)
+    )  # (B, 3, TSIZE_MAX) — value < 2^19, f32-exact
+    packed_f = packed_tab.astype(jnp.float32)
 
-    def tab(stream_idx, state):
-        idx = tab_base + stream_idx * TSIZE_MAX + jnp.clip(state, 0, TSIZE_MAX - 1)
-        return jnp.take(pt_flat, idx)
+    if NC == 1:
+        bits_left = bl0
+        st_ll, st_of, st_ml = st_ll0, st_of0, st_ml0
+        cix = jnp.zeros((R,), I32)
+        nseq_r = nseq
+        word_base = jnp.arange(B, dtype=I32) * SW
+    else:
+        blk = jnp.repeat(jnp.arange(B, dtype=I32), NC)
+        cix = jnp.tile(jnp.arange(NC, dtype=I32), B)
+        first = cix == 0
+        ckb = jnp.pad(ck_bits, ((0, 0), (0, max(0, NC - 1 - ck_bits.shape[1]))))[:, : NC - 1]
+        cks = jnp.pad(ck_states, ((0, 0), (0, max(0, NC - 1 - ck_states.shape[1]))))[:, : NC - 1]
+        ckb_r = jnp.pad(ckb, ((0, 0), (1, 0))).reshape(-1)
+        cks_r = jnp.pad(cks, ((0, 0), (1, 0))).reshape(-1)
+        bits_left = jnp.where(first, bl0[blk], ckb_r.astype(I32))
+        st_ll = jnp.where(first, st_ll0[blk], (cks_r & 0x3FF).astype(I32))
+        st_of = jnp.where(first, st_of0[blk], ((cks_r >> 10) & 0x3FF).astype(I32))
+        st_ml = jnp.where(first, st_ml0[blk], ((cks_r >> 20) & 0x3FF).astype(I32))
+        nseq_r = nseq[blk]
+        word_base = blk * SW
 
-    WIN = 5
-    nseq_r = nseq[blk]
-    word_base = blk * SW
+    ll_tab = jnp.asarray(_LL_PACKED)
+    ml_tab = jnp.asarray(_ML_PACKED)
+    WIN = _SEQ_WIN
+
+    def tab3(s_ll, s_of, s_ml):
+        """3 FSE-table lookups as ONE one-hot contraction (B,3,NC)."""
+        st3 = jnp.stack([s_ll, s_of, s_ml]).reshape(3, B, NC).transpose(1, 0, 2)
+        v = _onehot_lookup(st3, packed_f)  # (B, 3, NC)
+        return v[:, 0].reshape(R), v[:, 1].reshape(R), v[:, 2].reshape(R)
 
     def _fetch_window(bits_left):
         top_w = jnp.clip((bits_left - 1) >> 5, 0, SW - 1)
-        base_w = jnp.clip(top_w - 3, 0, max(SW - WIN, 0))
+        base_w = jnp.clip(top_w - (WIN - 2), 0, max(SW - WIN, 0))
         idx = word_base[:, None] + jnp.minimum(
             base_w[:, None] + jnp.arange(WIN, dtype=I32)[None, :], SW - 1
         )
@@ -360,54 +228,151 @@ def decode_sequences_device_chunked(
         lo, bits_left = _read_local(win, base_bit, bits_left, n2)
         return (hi << jnp.minimum(n, 16)) | lo, bits_left
 
-    def body(carry, t):
+    def pair_body(carry, u):
         (bits_left, st_ll, st_of, st_ml, rep) = carry
-        j = cix * stride + t  # global decode step of this row at scan step t
-        active = j < nseq_r
-        p_of = tab(1, st_of)
-        p_ml = tab(2, st_ml)
-        p_ll = tab(0, st_ll)
-        ofc, llc, mlc = p_of & 63, p_ll & 63, p_ml & 63
         win, base_bit = _fetch_window(bits_left)
-        ofx, bl = _read_local_wide(win, base_bit, bits_left, jnp.where(active, ofc, 0))
-        ofv = jnp.where(ofc > 0, (1 << jnp.minimum(ofc, 30)) + ofx, 1)
-        mlx, bl = _read_local(win, base_bit, bl, jnp.where(active, ml_bits[jnp.clip(mlc, 0, 52)], 0))
-        ml = ml_base[jnp.clip(mlc, 0, 52)] + mlx
-        llx, bl = _read_local(win, base_bit, bl, jnp.where(active, ll_bits[jnp.clip(llc, 0, 35)], 0))
-        ll = ll_base[jnp.clip(llc, 0, 35)] + llx
-        r0, r1, r2 = rep[:, 0], rep[:, 1], rep[:, 2]
-        idx = ofv - 1 + (ll == 0).astype(I32)
-        off_rep = jnp.where(
-            idx == 0, r0,
-            jnp.where(idx == 1, r1, jnp.where(idx == 2, r2, jnp.maximum(r0 - 1, 1))),
-        )
-        is_lit_off = ofv > 3
-        off = jnp.where(is_lit_off, ofv - 3, off_rep)
-        n1 = jnp.where(is_lit_off, r0, jnp.where(idx == 0, r1, r0))
-        n2 = jnp.where(is_lit_off, r1, jnp.where(idx <= 1, r2, r1))
-        rep_new = jnp.stack([off, n1, n2], axis=1)
-        rep = jnp.where(active[:, None], rep_new, rep)
-        upd = active & (j < nseq_r - 1)
-        v, bl = _read_local(win, base_bit, bl, jnp.where(upd, (p_ll >> 6) & 15, 0))
-        st_ll = jnp.where(upd, (p_ll >> 10) + v, st_ll)
-        v, bl = _read_local(win, base_bit, bl, jnp.where(upd, (p_ml >> 6) & 15, 0))
-        st_ml = jnp.where(upd, (p_ml >> 10) + v, st_ml)
-        v, bl = _read_local(win, base_bit, bl, jnp.where(upd, (p_of >> 6) & 15, 0))
-        st_of = jnp.where(upd, (p_of >> 10) + v, st_of)
-        bits_left = jnp.where(active, bl, bits_left)
-        ys = (
-            jnp.where(active, ll, 0),
-            jnp.where(active, ml, 0),
-            jnp.where(active, off, 0),
-        )
+        outs = []
+        for h in range(_SEQ_PAIR):
+            t = u * _SEQ_PAIR + h
+            j = cix * stride + t
+            active = j < nseq_r
+            p_ll, p_of, p_ml = tab3(st_ll, st_of, st_ml)
+            ofc, llc, mlc = p_of & 63, p_ll & 63, p_ml & 63
+            mlv_p = _onehot_lookup_const(mlc, ml_tab)
+            llv_p = _onehot_lookup_const(llc, ll_tab)
+            ofx, bl = _read_local_wide(win, base_bit, bits_left, jnp.where(active, ofc, 0))
+            ofv = jnp.where(ofc > 0, (1 << jnp.minimum(ofc, 30)) + ofx, 1)
+            mlx, bl = _read_local(win, base_bit, bl, jnp.where(active, mlv_p >> 17, 0))
+            ml = (mlv_p & 0x1FFFF) + mlx
+            llx, bl = _read_local(win, base_bit, bl, jnp.where(active, llv_p >> 17, 0))
+            ll = (llv_p & 0x1FFFF) + llx
+            r0, r1, r2 = rep[:, 0], rep[:, 1], rep[:, 2]
+            idx = ofv - 1 + (ll == 0).astype(I32)
+            off_rep = jnp.where(
+                idx == 0, r0,
+                jnp.where(idx == 1, r1, jnp.where(idx == 2, r2, jnp.maximum(r0 - 1, 1))),
+            )
+            is_lit_off = ofv > 3
+            off = jnp.where(is_lit_off, ofv - 3, off_rep)
+            n1 = jnp.where(is_lit_off, r0, jnp.where(idx == 0, r1, r0))
+            n2 = jnp.where(is_lit_off, r1, jnp.where(idx <= 1, r2, r1))
+            rep_new = jnp.stack([off, n1, n2], axis=1)
+            rep = jnp.where(active[:, None], rep_new, rep)
+            upd = active & (j < nseq_r - 1)
+            v, bl = _read_local(win, base_bit, bl, jnp.where(upd, (p_ll >> 6) & 15, 0))
+            st_ll = jnp.where(upd, (p_ll >> 10) + v, st_ll)
+            v, bl = _read_local(win, base_bit, bl, jnp.where(upd, (p_ml >> 6) & 15, 0))
+            st_ml = jnp.where(upd, (p_ml >> 10) + v, st_ml)
+            v, bl = _read_local(win, base_bit, bl, jnp.where(upd, (p_of >> 6) & 15, 0))
+            st_of = jnp.where(upd, (p_of >> 10) + v, st_of)
+            bits_left = jnp.where(active, bl, bits_left)
+            outs.append((
+                jnp.where(active, ll, 0),
+                jnp.where(active, ml, 0),
+                jnp.where(active, off, 0),
+            ))
+        ys = tuple(jnp.stack([outs[0][f], outs[1][f]]) for f in range(3))
         return (bits_left, st_ll, st_of, st_ml, rep), ys
 
+    init = (bits_left, st_ll, st_of, st_ml, rep_rows)
+    carry, (o_ll, o_ml, o_off) = jax.lax.scan(
+        pair_body, init, jnp.arange(stride // _SEQ_PAIR, dtype=I32), unroll=2
+    )
+    # ys: (stride//2, 2, R) -> (stride, R) in step order
+    o_ll = o_ll.reshape(stride, R)
+    o_ml = o_ml.reshape(stride, R)
+    o_off = o_off.reshape(stride, R)
+    return o_ll, o_ml, o_off, carry[4]
+
+
+@functools.partial(jax.jit, static_argnums=(5,))
+def decode_sequences_device(
+    streams: jax.Array,      # (B, S) uint8 sequence bitstreams
+    total_bits: jax.Array,   # (B,) data bits (sentinel stripped)
+    tables: SeqTables,
+    nseq: jax.Array,         # (B,)
+    rep_init: jax.Array,     # (B, 3) initial repeat offsets
+    max_seqs: int,
+):
+    """Decode interleaved FSE sequences for a batch of blocks (serial chain).
+
+    One bit-serial chain per block, vectorized across the batch; the scan
+    length is bucketed by max(nseq) via a batch-level lax.switch. Gather-free
+    except the per-pair bitstream window fetch (see _decode_seqs_core).
+
+    Returns (ll, ml, off, rep_final): (B, max_seqs) resolved values.
+    """
+    B = streams.shape[0]
+    words = _pack_words(streams)
+
+    bmax = jnp.max(nseq)
+    buckets = [b for b in (1024, 4096, 16384, 24576, 32768) if b < max_seqs] + [max_seqs]
+    bidx = jnp.int32(0)
+    for b in buckets[:-1]:
+        bidx = bidx + (bmax > b).astype(jnp.int32)
+
+    def mk(msb):
+        msb2 = -(-msb // _SEQ_PAIR) * _SEQ_PAIR
+
+        def branch(_):
+            o_ll, o_ml, o_off, rep_fin = _decode_seqs_core(
+                words, total_bits, tables, nseq, rep_init, None, None, msb2, 1
+            )
+            padw = ((0, 0), (0, max_seqs - msb2))
+            return (
+                jnp.pad(o_ll.T, padw),
+                jnp.pad(o_ml.T, padw),
+                jnp.pad(o_off.T, padw),
+                rep_fin,
+            )
+
+        return branch
+
+    return jax.lax.switch(bidx, [mk(b) for b in buckets], None)
+
+
+@functools.partial(jax.jit, static_argnums=(7, 8, 9))
+def decode_sequences_device_chunked(
+    streams: jax.Array,     # (B, S) uint8 sequence bitstreams
+    total_bits: jax.Array,  # (B,) data bits (sentinel stripped)
+    tables: SeqTables,
+    nseq: jax.Array,        # (B,)
+    ck_bits: jax.Array,     # (B, NC-?) checkpoint bit cursors (chunk c -> c-1)
+    ck_states: jax.Array,   # (B, NC-?) packed ll | of<<10 | ml<<20
+    ck_rep: jax.Array,      # (B, NC-?, 3) exact rep triple before the chunk
+    stride: int,            # sequences per chunk (accel metadata stride)
+    num_chunks: int,        # static chunk count (>= ceil(max nseq / stride))
+    max_seqs: int,
+):
+    """Chunk-parallel FSE sequence decode from encoder-published checkpoints.
+
+    With decode-acceleration metadata (format/accel.py) every chunk of
+    `stride` sequences knows its starting bit cursor, FSE states AND the full
+    repeat-offset triple, so the scan runs only `stride` steps over
+    B*num_chunks independent rows — the TPU counterpart of the reference's
+    speculative chunk-parallel FSE decode (reference
+    src/cuda_zstd_fse.cu:2674-3283), but exact instead of speculative.
+    Returns (ll, ml, off, rep_final) shaped like the serial decoder
+    ((B, max_seqs); rep_final is the initial rep — single-shot frames only).
+    """
+    B = streams.shape[0]
+    NC = num_chunks
+    words = _pack_words(streams)
+
+    cix = jnp.tile(jnp.arange(NC, dtype=I32), B)
+    first = cix == 0
+    ckr = jnp.pad(
+        ck_rep,
+        ((0, 0), (0, max(0, NC - 1 - ck_rep.shape[1])), (0, 0)),
+        constant_values=1,
+    )[:, : NC - 1]
+    ckr_r = jnp.pad(ckr, ((0, 0), (1, 0), (0, 0)), constant_values=1).reshape(-1, 3)
     rep0 = jnp.where(
         first[:, None], jnp.asarray([[1, 4, 8]], I32), ckr_r.astype(I32)
     )
-    init = (bits_left, st_ll, st_of, st_ml, rep0)
-    _, (o_ll, o_ml, o_off) = jax.lax.scan(
-        body, init, jnp.arange(stride, dtype=I32), unroll=4
+
+    o_ll, o_ml, o_off, _ = _decode_seqs_core(
+        words, total_bits, tables, nseq, rep0, ck_bits, ck_states, stride, NC
     )
 
     def resh(a):  # (stride, R) -> (B, NC*stride) -> (B, max_seqs)
@@ -418,6 +383,7 @@ def decode_sequences_device_chunked(
 
     rep_fin = jnp.tile(jnp.asarray([1, 4, 8], I32)[None, :], (B, 1))
     return resh(o_ll), resh(o_ml), resh(o_off), rep_fin
+
 
 
 HUF_TSIZE = 2048  # 1 << HUF_MAX_BITS (11) — literal decode-table capacity

@@ -51,54 +51,54 @@ def _exec_kernel(nseq_ref, nlit_ref, lit_ref, win_ref, spack_hbm, out_ref,
 
     buf layout (i32, one byte value per lane): rows [0, W/128) = history
     window, rows [W/128, (W+N)/128 + 2) = output + chunk-overshoot margin.
-    lbuf: literal bytes, one per lane, LR rows + 1 overshoot row.
+    lbuf: literal bytes, one per lane, LR rows + 2 overshoot rows.
+
+    v4 write path (measured on v5e, tools/exec_micro.py + ablation): the v3
+    kernel read-modified-wrote TWO buf rows per copy (~70 cyc) and realigned
+    with dynamic pltpu.roll (~75 cyc). This version:
+    - carries the CURRENT OUTPUT ROW in a loop register ("pend"): a copy is
+      one combined-rotate gather from the source + a masked merge; buf gets
+      exactly one aligned row-store per completed 128 output bytes;
+    - reads literals from a 2-row register window ("lwin"), refilled by a
+      lax.cond only when the literal cursor crosses a row;
+    - realigns with lane-indexed take_along_axis (~15 cyc, vs ~75 for a
+      dynamic roll);
+    - runs both copy kinds as while_loops whose zero-trip case (ll == 0 /
+      ml == 0) costs only the loop-condition check.
+    All mutable state (cursors, pend, lwin) flows through loop carries and
+    stays in vector registers — no scratch spills, no RMW.
     """
     WROWS = W // CH
     NROWS = N // CH
     lane = jax.lax.broadcasted_iota(I32, (1, CH), 1)
+    lane2 = jax.lax.broadcasted_iota(I32, (2, CH), 1)
     b = pl.program_id(0)
 
-    def read128(p):
-        """128 buf bytes starting at byte-position p (any alignment)."""
-        r0 = p >> 7
-        a = p & (CH - 1)
-        two = buf[pl.ds(r0, 2), :]
-        ra = pltpu.roll(two, -a, 1)
-        return jnp.where(lane < CH - a, ra[0:1], ra[1:2])
+    def _gather_copy(two, p_src, a2):
+        """128 source bytes starting at byte p_src, aligned to target lane
+        a2: out[l] = src[p_src + ((l - a2) & 127)] — one taa on the pair."""
+        off_l = (lane2 - a2) & (CH - 1)
+        srcpos = (p_src & (CH - 1)) + off_l
+        g2 = jnp.take_along_axis(two, srcpos & (CH - 1), axis=1)
+        return jnp.where(srcpos[0:1] < CH, g2[0:1], g2[1:2])
 
-    def read128_lit(p):
-        r0 = p >> 7
-        a = p & (CH - 1)
-        two = lbuf[pl.ds(r0, 2), :]
-        ra = pltpu.roll(two, -a, 1)
-        return jnp.where(lane < CH - a, ra[0:1], ra[1:2])
+    def append(two, p_src, po, c, pend):
+        """Merge c bytes (read from rows `two` at p_src) into pend at output
+        byte po; flush the completed row to buf when the copy crosses it.
+        Returns the new pend. c <= CH."""
+        a2 = po & (CH - 1)
+        g = _gather_copy(two, p_src, a2)
+        mask_main = (lane >= a2) & (lane < a2 + c)
+        pend_new = jnp.where(mask_main, g, pend)
+        crossed = a2 + c >= CH
 
-    def write128(p, d, c):
-        """Write the first c (<= 128) bytes of d (1, CH) at byte-position p."""
-        r0 = p >> 7
-        a = p & (CH - 1)
-        rolled = pltpu.roll(d, a, 1)
-        two = buf[pl.ds(r0, 2), :]
-        new0 = jnp.where((lane >= a) & (lane < a + c), rolled, two[0:1])
-        new1 = jnp.where(lane < a + c - CH, rolled, two[1:2])
-        buf[pl.ds(r0, 2), :] = jnp.concatenate([new0, new1], 0)
-
-    def copy_lits(lc, dst, n):
-        """Copy n literal bytes lbuf[lc:lc+n] -> buf byte-position W+dst."""
-
-        @pl.when((n > 0) & (n <= CH))
+        @pl.when(crossed)
         def _():
-            write128(W + dst, read128_lit(lc), n)
+            buf[pl.ds(po >> 7, 1), :] = pend_new
 
-        @pl.when(n > CH)
-        def _():
-            def body(st):
-                done, rem = st
-                c = jnp.minimum(rem, CH)
-                write128(W + dst + done, read128_lit(lc + done), c)
-                return (done + c, rem - c)
-
-            jax.lax.while_loop(lambda st: st[1] > 0, body, (jnp.int32(0), n))
+        return jax.lax.select(
+            crossed, jnp.where(lane < a2 + c - CH, g, pend_new), pend_new
+        )
 
     # Window load (static, aligned, u8 -> one-per-lane i32).
     if W > 0:
@@ -111,6 +111,28 @@ def _exec_kernel(nseq_ref, nlit_ref, lit_ref, win_ref, spack_hbm, out_ref,
     nl = jnp.minimum(nlit_ref[b], LR * CH)
     base = b * 3 * MSP
 
+    def lit_refill(lc, lrow, lwin):
+        return jax.lax.cond(
+            (lc >> 7) != lrow,
+            lambda: (lc >> 7, lbuf[pl.ds(lc >> 7, 2), :]),
+            lambda: (lrow, lwin),
+        )
+
+    def copy_lits(n, lc, po, pend, lrow, lwin):
+        """Copy n literal bytes lbuf[lc:lc+n] -> output at po (n >= 0)."""
+
+        def body(st):
+            lc, po, rem, pend, lrow, lwin = st
+            lrow, lwin = lit_refill(lc, lrow, lwin)
+            c = jnp.minimum(rem, CH)
+            pend = append(lwin, lc, po, c, pend)
+            return (lc + c, po + c, rem - c, pend, lrow, lwin)
+
+        lc, po, _, pend, lrow, lwin = jax.lax.while_loop(
+            lambda st: st[2] > 0, body, (lc, po, n, pend, lrow, lwin)
+        )
+        return lc, po, pend, lrow, lwin
+
     def chunk_body(ck, carry):
         for f, st in ((0, ll_s), (1, ml_s), (2, of_s)):
             pltpu.make_async_copy(
@@ -122,55 +144,53 @@ def _exec_kernel(nseq_ref, nlit_ref, lit_ref, win_ref, spack_hbm, out_ref,
             ).wait()
 
         def seq_body(s, st):
-            lc, oc = st
-            # Literal copy clamped to BOTH output capacity and the literal
-            # buffer (corrupt ll values must not walk the cursor past lbuf's
-            # LR+1 scratch rows — VMEM OOB otherwise).
-            llv = jnp.clip(jnp.minimum(ll_s[s], nl - lc), 0, N - oc)
-            mlv = ml_s[s]
-            copy_lits(lc, oc, llv)
-            lc = lc + llv
-            oc = oc + llv
-            mlv = jnp.clip(mlv, 0, N - oc)
-            # Degenerate history (W + oc == 0): no bytes exist to match from;
-            # drop the match instead of letting the copy loop spin at P == 0
-            # forever (clip with lo > hi yields hi == 0).
-            mlv = jnp.where(W + oc == 0, 0, mlv)
-            ofv = jnp.maximum(jnp.minimum(of_s[s], W + oc), 1)
-            fast = (mlv <= CH) & (ofv >= mlv)
+            lc, po, pend, lrow, lwin = st
+            llv = jnp.clip(jnp.minimum(ll_s[s], nl - lc), 0, W + N - po)
+            lc, po, pend, lrow, lwin = copy_lits(llv, lc, po, pend, lrow, lwin)
 
-            # Fast path — the overwhelmingly common case (average match is
-            # ~10-30 bytes, offsets usually exceed the length): ONE unguarded
-            # 128-byte copy, no loop machinery.
-            @pl.when(fast & (mlv > 0))
-            def _():
-                write128(W + oc, read128(W + oc - ofv), mlv)
+            mlv = jnp.clip(ml_s[s], 0, W + N - po)
+            # Degenerate history (po == 0): no bytes exist to match from;
+            # drop the match so the copy loop cannot spin at P == 0.
+            mlv = jnp.where(po == 0, 0, mlv)
+            ofv = jnp.maximum(jnp.minimum(of_s[s], po), 1)
 
-            @pl.when(jnp.logical_not(fast))
-            def _():
-                def copy_body(st2):
-                    d, rem, P = st2
-                    c = jnp.minimum(jnp.minimum(rem, CH), P)
-                    write128(W + d, read128(W + d - P), c)
-                    # Double the period multiple only after a FULL-P copy (the
-                    # periodic region then provably extends past d - 2P).
-                    return (d + c, rem - c, jnp.where(c == P, P + P, P))
+            def mbody(st2):
+                d, rem, P, pend = st2
+                c = jnp.minimum(jnp.minimum(rem, CH), P)
+                p_src = d - P
+                r0 = p_src >> 7
+                two = buf[pl.ds(r0, 2), :]
+                # Overlay the unflushed current row from pend.
+                orow = d >> 7
+                o0 = jax.lax.select(r0 == orow, pend, two[0:1])
+                o1 = jax.lax.select(r0 + 1 == orow, pend, two[1:2])
+                two = jnp.concatenate([o0, o1], 0)
+                pend = append(two, p_src, d, c, pend)
+                # Double the period multiple only after a FULL-P copy (the
+                # periodic region then provably extends past d - 2P).
+                return (d + c, rem - c, jnp.where(c == P, P + P, P), pend)
 
-                jax.lax.while_loop(
-                    lambda st2: st2[1] > 0, copy_body, (oc, mlv, ofv)
-                )
-
-            return (lc, oc + mlv)
+            po, _, _, pend = jax.lax.while_loop(
+                lambda st2: st2[1] > 0, mbody, (po, mlv, ofv, pend)
+            )
+            return (lc, po, pend, lrow, lwin)
 
         n_here = jnp.clip(ns - ck * CHS, 0, CHS)
         return jax.lax.fori_loop(0, n_here, seq_body, carry)
 
-    lc, oc = jax.lax.fori_loop(
-        0, (ns + CHS - 1) // CHS, chunk_body, (jnp.int32(0), jnp.int32(0))
+    pend0 = jnp.zeros((1, CH), I32)
+    lwin0 = lbuf[0:2, :]
+    carry = (jnp.int32(0), jnp.int32(W), pend0, jnp.int32(0), lwin0)
+    lc, po, pend, lrow, lwin = jax.lax.fori_loop(
+        0, (ns + CHS - 1) // CHS, chunk_body, carry
     )
-    # Tail literals after the last sequence.
-    copy_lits(lc, oc, jnp.clip(nl - lc, 0, N - oc))
+    # Tail literals after the last sequence, then flush the partial row.
+    lc, po, pend, lrow, lwin = copy_lits(
+        jnp.clip(nl - lc, 0, W + N - po), lc, po, pend, lrow, lwin
+    )
+    buf[pl.ds(po >> 7, 1), :] = pend
     out_ref[0] = buf[WROWS:WROWS + NROWS, :].astype(jnp.uint8)
+
 
 
 def _round_up(x: int, m: int) -> int:
@@ -287,7 +307,7 @@ def execute_sequences_pallas(
         out_shape=jax.ShapeDtypeStruct((B, N // CH, CH), jnp.uint8),
         scratch_shapes=[
             pltpu.VMEM(((W + N) // CH + 2, CH), I32),
-            pltpu.VMEM((LR + 1, CH), I32),
+            pltpu.VMEM((LR + 2, CH), I32),
             pltpu.SMEM((CHS,), I32),
             pltpu.SMEM((CHS,), I32),
             pltpu.SMEM((CHS,), I32),
