@@ -57,7 +57,12 @@ timed("execute (full)", full)
 import inspect
 
 for run, cnt in plan._runners:
-    cells = {n: c.cell_contents for n, c in zip(run.__code__.co_freevars, run.__closure__)}
+    cells = {}
+    for n, c in zip(run.__code__.co_freevars, run.__closure__):
+        try:
+            cells[n] = c.cell_contents
+        except ValueError:
+            pass
     ds = cells.get("_decode_seqs")
     dl = cells.get("_decode_lits")
     if ds is not None:

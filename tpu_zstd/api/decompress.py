@@ -48,6 +48,15 @@ TSIZE_MAX = 512
 PALLAS_BUF_MAX = 2 * 1024 * 1024 + 128 * 1024  # window+block bytes fitting VMEM
 
 
+def _on_tpu() -> bool:
+    import jax
+
+    dev = jax.devices()[0]
+    return "tpu" in (
+        dev.platform.lower() + " " + getattr(dev, "device_kind", "").lower()
+    )
+
+
 def _pick_executor(buf_bytes: int = 0):
     """Sequence executor: the Pallas sequential-copy kernel on TPU (2.6x the
     XLA pointer-doubling executor on v5e, tools/exec_micro.py) while the
@@ -563,7 +572,81 @@ def prepare_decompress_batch(
         nseq_j = jnp.asarray(nseq)
         nlit_j = jnp.asarray(nlit)
         zwin = jnp.zeros((B, 1), jnp.uint8)
-        if use_accel:
+        if use_accel and _on_tpu():
+            # Lane-parallel Pallas sequence decode: one chunk per lane with
+            # in-kernel taa table banks (ops/pallas_decode.py).
+            from ..ops.pallas_decode import (
+                _value_banks,
+                build_seqlane_inputs,
+                decode_sequences_lanes,
+            )
+
+            max_nc = max(
+                (-(-int(nseq[bi]) // C) for bi, i in enumerate(idxs) if plans[i] is not None),
+                default=1,
+            )
+            nc_pad = max(128, -(-max_nc // 128) * 128)
+            blocks = []
+            for bi, i in enumerate(idxs):
+                p = plans[i]
+                rec = metas[i]
+                if p is None or p.nbseq == 0 or rec is None:
+                    blocks.append(None)
+                    continue
+                blocks.append({
+                    "stream": p.stream,
+                    "tbits": p.total_bits,
+                    "nseq": p.nbseq,
+                    "tables": p.tables,
+                    "ckb": rec[1],
+                    "cks": rec[2],
+                    "ckr": rec[3],
+                })
+            blocks += [None] * (B - ng)
+            (sl_s, sb0, sst0, srep0, snloc, snupd, sbanks, swmax, SR) = (
+                build_seqlane_inputs(blocks, nc_pad, C)
+            )
+            SRpad = -(-SR // 1024) * 1024
+            if SRpad > SR:
+                ext = (SRpad - SR) // 128
+                sl_s = np.concatenate(
+                    [sl_s, np.zeros((swmax, ext, 128), np.int32)], axis=1
+                )
+                z = np.zeros((ext, 128), np.int32)
+                sb0 = np.concatenate([sb0, z])
+                sst0 = np.concatenate([sst0, z])
+                srep0 = np.concatenate(
+                    [srep0, np.ones((3, ext, 128), np.int32)], axis=1
+                )
+                snloc = np.concatenate([snloc, z])
+                snupd = np.concatenate([snupd, z])
+                sbanks = np.concatenate(
+                    [sbanks, np.zeros((ext, 12, 128), np.int32)]
+                )
+            sl_j = jnp.asarray(sl_s)
+            sb0_j = jnp.asarray(sb0)
+            sst0_j = jnp.asarray(sst0)
+            srep0_j = jnp.asarray(srep0)
+            snloc_j = jnp.asarray(snloc)
+            snupd_j = jnp.asarray(snupd)
+            sbanks_j = jnp.asarray(sbanks)
+            llb_np, mlb_np = _value_banks()
+            llb_j = jnp.asarray(llb_np)
+            mlb_j = jnp.asarray(mlb_np)
+            rep_dummy = jnp.tile(jnp.asarray([1, 4, 8], jnp.int32)[None], (B, 1))
+
+            def _decode_seqs(_SR=SR, _swmax=swmax, _MS=nc_pad * C):
+                ll, ml, off = decode_sequences_lanes(
+                    sl_j, sb0_j, sst0_j, srep0_j, snloc_j, snupd_j,
+                    sbanks_j, llb_j, mlb_j, C, _swmax,
+                )
+                return (
+                    ll[:_SR].reshape(B, _MS),
+                    ml[:_SR].reshape(B, _MS),
+                    off[:_SR].reshape(B, _MS),
+                    rep_dummy,
+                )
+        elif use_accel:
             max_nc = max(
                 (-(-int(nseq[bi]) // C) for bi, i in enumerate(idxs) if plans[i] is not None),
                 default=1,
@@ -599,6 +682,76 @@ def prepare_decompress_batch(
         group_litdev = [i for i in idxs if i in litdev_set]
         _decode_lits = None
         regen_j = None
+        # Lane-parallel Pallas literal decode (ops/pallas_decode.py): one
+        # stream chunk per lane, in-kernel table gathers. Requires a TPU,
+        # a whole-group device-literal batch, and table_log <= 8 (the
+        # encoder caps accel frames there; foreign frames fall back).
+        use_lanes = (
+            group_litdev
+            and all_dev
+            and CL % 2 == 0
+            and _on_tpu()
+            and all(plans[i].litdev[4] <= 8 for i in group_litdev)
+        )
+        if use_lanes:
+            from ..ops.pallas_decode import (
+                build_litlane_inputs,
+                decode_huffman_lanes,
+            )
+
+            max_sym = max(max(plans[i].litdev[2]) for i in group_litdev)
+            ncl_pad = max(-(-_bucket(max(-(-max_sym // CL), 1), lo=1) // 32) * 32, 32)
+            dummy_lit = ([b"", b"", b"", b""], [0] * 4, [0] * 4,
+                         np.zeros(2048, np.int32), 1, 0)
+            dummy_lck = np.zeros((4, 0), np.uint32)
+            litdevs = [plans[i].litdev for i in idxs] + [dummy_lit] * (B - ng)
+            lcks = [metas[i][4] for i in idxs] + [dummy_lck] * (B - ng)
+            slices, bits0, nsym_a, tl_a, banks, wmax, R = build_litlane_inputs(
+                litdevs, lcks, ncl_pad, CL
+            )
+            # Pad rows to a whole number of 1024-chunk tiles.
+            Rpad = -(-R // 1024) * 1024
+            if Rpad > R:
+                ext = (Rpad - R) // 128
+                slices = np.concatenate(
+                    [slices, np.zeros((wmax, ext, 128), np.int32)], axis=1
+                )
+                z = np.zeros((ext, 128), np.int32)
+                bits0 = np.concatenate([bits0, z])
+                nsym_a = np.concatenate([nsym_a, z])
+                tl_a = np.concatenate([tl_a, z])
+                banks = np.concatenate(
+                    [banks, np.zeros((ext, 2, 128), np.int32)]
+                )
+            slices_j = jnp.asarray(slices)
+            bits0_j = jnp.asarray(bits0)
+            nsyml_j = jnp.asarray(nsym_a)
+            tl_j = jnp.asarray(tl_a)
+            banks_j = jnp.asarray(banks)
+            regen_j = jnp.asarray(
+                np.asarray(
+                    [plans[i].litdev[5] for i in idxs] + [0] * (B - ng), np.int32
+                )
+            )
+            SEGC = ncl_pad * CL
+
+            def _decode_lits(_R=R, _wmax=wmax, _SEGC=SEGC):
+                syms = decode_huffman_lanes(
+                    slices_j, bits0_j, nsyml_j, tl_j, banks_j, CL, _wmax
+                )
+                return syms[:_R].reshape(B * 4, _SEGC)
+
+            zlit = jnp.zeros((B, 1), jnp.uint8)
+
+            def run():
+                ll, ml, off, _ = _decode_seqs()
+                syms = _decode_lits()
+                return execute_sequences(
+                    zlit, nlit_j, ll, ml, off, nseq_j, zwin, max_block, 1,
+                    lit_src=(syms, regen_j),
+                )
+
+            return run
         if group_litdev:
             from ..ops.decode_jax import (
                 assemble_literals_4stream,
@@ -687,17 +840,27 @@ def prepare_decompress_batch(
     # few sequences/literals stop padding to the batch max — at stride 64 a
     # 2K-seq block in a batch with a 32K-seq block otherwise runs 16x the
     # scan rows it needs. Raw/RLE and host-literal frames form their own
-    # group so all-device groups take the fused executor path.
+    # group so all-device groups take the fused executor path. On TPU the
+    # lane kernels pad chunks to >= 128 (sequences) / >= 32 (literal) rows
+    # per block anyway, so finer buckets only multiply dispatches — clamp
+    # the keys to that granularity there.
+    on_tpu = _on_tpu()
+    nc_floor = 128 if on_tpu else 1
+    ncl_floor = 32 if on_tpu else 1
     groups: dict = {}
     for i in range(nf):
         p = plans[i]
         if p is None:
             key = ("host", 0, 0)
         else:
-            nc = _bucket(max(-(-p.nbseq // C), 1), lo=1) if (use_accel and C) else 0
+            nc = (
+                max(_bucket(max(-(-p.nbseq // C), 1), lo=1), nc_floor)
+                if (use_accel and C)
+                else 0
+            )
             if i in litdev_set:
                 seg = (p.litdev[5] + 3) // 4
-                key = ("dev", nc, _bucket(max(-(-seg // CL), 1), lo=1))
+                key = ("dev", nc, max(_bucket(max(-(-seg // CL), 1), lo=1), ncl_floor))
             else:
                 key = ("host", nc, 0)
         groups.setdefault(key, []).append(i)

@@ -32,6 +32,12 @@ F32 = jnp.float32
 
 MAX_BITS = 11
 TSIZE = 1 << MAX_BITS  # Kraft budget at max_bits granularity
+# Decode-accelerated (inference-profile) frames cap code lengths at 8 so the
+# whole decode table fits two 128-lane take_along_axis banks of the
+# lane-parallel TPU decoder (ops/pallas_decode.py). Stock libzstd decodes
+# either way; non-accel frames keep the full 11-bit codes (measured ~5%
+# L3 ratio cost on the bench corpus if capped globally).
+ACCEL_MAX_BITS = 8
 
 
 def huff_payload_cap(block_size: int) -> int:
@@ -67,7 +73,7 @@ def literal_histogram(lits: jax.Array, nlit: jax.Array) -> jax.Array:
     return jnp.sum((vals[None, :] == k[:, None]).astype(I32), axis=1)
 
 
-def build_lengths(cnt: jax.Array, nlit: jax.Array) -> tuple[jax.Array, jax.Array]:
+def build_lengths(cnt: jax.Array, nlit: jax.Array, max_bits: int = MAX_BITS) -> tuple[jax.Array, jax.Array]:
     """Length-limited (<=11) code lengths with exact Kraft equality.
 
     Returns (lengths[256] — 0 for absent symbols, ok flag). ok is False when
@@ -75,24 +81,25 @@ def build_lengths(cnt: jax.Array, nlit: jax.Array) -> tuple[jax.Array, jax.Array
     """
     present = cnt > 0
     nsym = jnp.sum(present.astype(I32))
+    tsize = 1 << max_bits
 
     # Initial lengths ~ ceil(-log2 p), via integer ratio against the budget
     # (int32-safe: cnt <= 2^20 literals, * 2^11 < 2^31).
-    ratio = cnt.astype(I32) * TSIZE // jnp.maximum(nlit, 1)
-    l0 = MAX_BITS - _floor_log2(jnp.maximum(ratio, 1))
-    l0 = jnp.clip(l0, 1, MAX_BITS)
+    ratio = cnt.astype(I32) * tsize // jnp.maximum(nlit, 1)
+    l0 = max_bits - _floor_log2(jnp.maximum(ratio, 1))
+    l0 = jnp.clip(l0, 1, max_bits)
 
     # Smallest uniform shift theta that fits the Kraft budget.
     def kraft(l):
-        return jnp.sum(jnp.where(present, (1 << (MAX_BITS - l)).astype(I32), 0))
+        return jnp.sum(jnp.where(present, (1 << (max_bits - l)).astype(I32), 0))
 
-    K_by_theta = jnp.stack([kraft(jnp.clip(l0 + t, 1, MAX_BITS)) for t in range(MAX_BITS + 1)])
-    fits = K_by_theta <= TSIZE
+    K_by_theta = jnp.stack([kraft(jnp.clip(l0 + t, 1, max_bits)) for t in range(max_bits + 1)])
+    fits = K_by_theta <= tsize
     theta = jnp.argmax(fits).astype(I32)  # first fitting shift
-    lengths = jnp.clip(l0 + theta, 1, MAX_BITS)
+    lengths = jnp.clip(l0 + theta, 1, max_bits)
     lengths = jnp.where(present, lengths, 0)
-    safe_l = jnp.where(present, lengths, MAX_BITS)
-    D = TSIZE - jnp.sum(jnp.where(present, (1 << (MAX_BITS - safe_l)).astype(I32), 0))
+    safe_l = jnp.where(present, lengths, max_bits)
+    D = tsize - jnp.sum(jnp.where(present, (1 << (max_bits - safe_l)).astype(I32), 0))
 
     # Exact repair: hand out the remaining budget by promoting symbols
     # (l -> l-1 costs 2^(11-l) budget, saves cnt bits); two passes over cost
@@ -104,8 +111,8 @@ def build_lengths(cnt: jax.Array, nlit: jax.Array) -> tuple[jax.Array, jax.Array
     _, rg = jax.lax.sort((order, sym_idx), num_keys=1, is_stable=True)
     prec = (rg[:, None] > rg[None, :]).astype(jnp.bfloat16)  # prec[s,t]: t before s
     for _ in range(2):
-        for l in range(2, MAX_BITS + 1):
-            g = 1 << (MAX_BITS - l)
+        for l in range(2, max_bits + 1):
+            g = 1 << (max_bits - l)
             cand = present & (lengths == l)
             k = jnp.minimum(jnp.sum(cand.astype(I32)), D // g)
             rank = (prec @ cand.astype(jnp.bfloat16)).astype(I32)  # <= 255: exact
@@ -386,7 +393,11 @@ def compress_literals_huffman(
     from .bitpack import place
 
     hist = literal_histogram(lits, nlit)
-    lengths, ok_l = build_lengths(hist, nlit)
+    # Accel (inference-profile) frames cap code length at 8 so the lane
+    # decoder's two taa banks cover the whole table; see ACCEL_MAX_BITS.
+    lengths, ok_l = build_lengths(
+        hist, nlit, ACCEL_MAX_BITS if ckpt_every else MAX_BITS
+    )
     codes = canonical_codes(lengths)
     whdr, wlen, ok_w = weights_header(lengths)
     fpay, flen, ok_f = weights_fse_payload(lengths)
