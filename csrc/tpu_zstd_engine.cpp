@@ -1191,10 +1191,27 @@ int64_t tz_engine_decompressed_size(const uint8_t* src, int64_t src_size) {
             cs = (int64_t)v;
         }
         total += cs;
-        // cannot cheaply skip block bodies without walking; report first frame
-        return total;
+        // Walk the frame's block headers to find the next frame (multi-frame
+        // inputs must report the SUM, like the reference's
+        // get_decompressed_size, types.cpp:1058).
+        int64_t fcs_len[4] = {ss ? 1 : 0, 2, 4, 8};
+        if (fcs_flag == 0 && !ss) fcs_len[0] = 0;
+        int64_t bpos = hpos + fcs_len[fcs_flag];
+        for (;;) {
+            if (bpos + 3 > src_size) return -1;
+            uint32_t bh = src[bpos] | (src[bpos + 1] << 8) | (src[bpos + 2] << 16);
+            int last = bh & 1;
+            int btype = (bh >> 1) & 3;
+            int64_t bsize = bh >> 3;
+            if (btype == 3) return -1;
+            bpos += 3 + (btype == 1 ? 1 : bsize);
+            if (bpos > src_size) return -1;
+            if (last) break;
+        }
+        if ((fhd >> 2) & 1) bpos += 4;  // content checksum
+        pos = bpos;
     }
-    return -1;
+    return total > 0 || pos > 0 ? total : -1;
 }
 
 // 8. validate (full decode, checksum verified)

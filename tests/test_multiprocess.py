@@ -39,11 +39,31 @@ items = [
     rng.integers(0, 256, 6000, dtype=np.uint8).tobytes(),
     b"A" * 9000,
 ]
+# Instrument the payload all-gather: DCN volume must stay near the
+# compressed size, not the padded batch (round-3 review weak #6).
+from jax.experimental import multihost_utils as mhu
+import tpu_zstd.parallel.sharding as SH
+vol = {"payload": 0}
+orig_ag = mhu.process_allgather
+def counting_ag(x, tiled=False):
+    r = orig_ag(x, tiled=tiled)
+    import numpy as _np
+    a = _np.asarray(r)
+    if a.ndim == 2:  # the contents payload
+        vol["payload"] = a.size * a.itemsize
+    return r
+mhu.process_allgather = counting_ag
+SH.mhu = mhu  # module imports it lazily inside the function; patch global
 frames = compress_batch_distributed(items, cfg)
+mhu.process_allgather = orig_ag
 import zstandard
 d = zstandard.ZstdDecompressor()
 for it, f in zip(items, frames):
     assert d.decompress(f, max_output_size=len(it)) == it
+total_comp = sum(len(f) for f in frames)
+assert vol["payload"] > 0
+assert vol["payload"] < max(1.5 * total_comp, 3 * 4096 * 8), (
+    vol["payload"], total_comp)
 with open(sys.argv[3], "wb") as fh:
     pickle.dump(frames, fh)
 print("WORKER_OK", pid)

@@ -126,3 +126,21 @@ def test_manager_cpu_path_uses_engine(corpus):
     assert zstandard.ZstdDecompressor().decompress(
         frame, max_output_size=len(data)
     ) == data
+
+
+def test_decompressed_size_walks_all_frames():
+    """Multi-frame inputs report the SUM (reference get_decompressed_size
+    walks frames, types.cpp:1058); round-3 review flagged first-frame-only."""
+    zstandard = pytest.importorskip("zstandard")
+    from tpu_zstd.utils.native import get_native
+
+    lib = get_native()
+    if lib is None:
+        pytest.skip("native engine unavailable")
+    c = zstandard.ZstdCompressor(level=3)
+    a = b"hello world " * 100
+    b = b"abcdef" * 500
+    blob = c.compress(a) + c.compress(b)
+    assert lib.tz_engine_decompressed_size(blob, len(blob)) == len(a) + len(b)
+    one = c.compress(a)
+    assert lib.tz_engine_decompressed_size(one, len(one)) == len(a)

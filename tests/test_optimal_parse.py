@@ -8,7 +8,9 @@ from tpu_zstd.ops.pallas_opt import (
     BIG,
     LIT_BITS,
     MATCH_BASE,
+    SCALE,
     _mlx,
+    default_cost_bank,
     opt_steps,
 )
 
@@ -20,11 +22,11 @@ def _brute(ml, ofc, mm, cap, seg):
     cost = np.zeros(seg + cap + 2, np.int64)
     step = np.ones(seg, np.int64)
     for p in range(seg - 1, -1, -1):
-        best = LIT_BITS + cost[p + 1]
+        best = LIT_BITS * SCALE + cost[p + 1]
         ch = 1
         for l in range(mm, cap + 1):
             if ml[p] >= l:
-                c = MATCH_BASE + ofc[p] + _mlx(l) + cost[p + l]
+                c = (MATCH_BASE + ofc[p] + _mlx(l)) * SCALE + cost[p + l]
                 if c < best:
                     best, ch = c, l
         cost[p] = best
@@ -49,11 +51,11 @@ def test_dp_matches_brute_force(seg, mm, cap):
         while p < seg:
             g = int(got[s, p])
             if g == 1:
-                cost += LIT_BITS
+                cost += LIT_BITS * SCALE
                 p += 1
             else:
                 assert ml[s, p] >= g >= mm
-                cost += MATCH_BASE + ofc[s, p] + _mlx(g)
+                cost += (MATCH_BASE + ofc[s, p] + _mlx(g)) * SCALE
                 p += g
         assert cost == want_cost, (s, cost, want_cost)
 
@@ -68,9 +70,19 @@ def test_kernel_matches_scan_interpret():
     ofc = rng.integers(0, 21, (S, seg))
     packed = jnp.asarray(ml | (ofc << 7), I32)
     # mixed per-block literal prices exercise the lit_bits input
-    lit_bits = jnp.asarray(rng.integers(3, 9, S), I32)
-    want = np.asarray(_opt_scan(packed, lit_bits, 4, 32))
-    got = np.asarray(_opt_impl(packed.T, lit_bits, 4, 32, True).T)
+    lit_bits = jnp.asarray(rng.integers(3 * SCALE, 9 * SCALE, S), I32)
+    bank_row = default_cost_bank(4, 32)
+    # per-row randomized OF-symbol costs exercise the bank input (rows of
+    # one 128-lane group share a bank, mirroring the one-block-per-sublane
+    # layout of the production path)
+    banks = np.tile(bank_row, (S, 1))
+    banks[:, :32] += np.repeat(
+        rng.integers(0, 3 * SCALE, (S // 128, 1)), 128, axis=0
+    )
+    want = np.asarray(_opt_scan(packed, lit_bits, jnp.asarray(banks), 4, 32))
+    got = np.asarray(
+        _opt_impl(packed.T, lit_bits, jnp.asarray(banks[::LANES]), 4, 32, True).T
+    )
     np.testing.assert_array_equal(got, want)
 
 

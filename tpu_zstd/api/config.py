@@ -108,7 +108,11 @@ class CompressionConfig:
         # that matter are Huffman literals (~1.5x slower) and lazy parse.
         level = max(1, min(22, int(level)))
         if level <= 2:
-            p = dict(strategy=Strategy.FAST, hash_log=15, search_depth=1, compare_cap=16)
+            # Unsampled depth-3 search measured STRICTLY better than the old
+            # sample_log=1 acceleration on-chip (2026-08-21: ratio 2.371 ->
+            # 2.589 = 90% of libzstd L1, throughput equal) — the cap-12
+            # retune shifted the sort-cost balance.
+            p = dict(strategy=Strategy.FAST, hash_log=15, search_depth=3, compare_cap=16)
         elif level <= 4:
             # Carried-word count (compare_cap / 4) is a REAL sort cost on v5e
             # (tools/sample_ab.py sweep 2026-08-21): cap 32 -> 12 at depth 12
@@ -120,11 +124,13 @@ class CompressionConfig:
         elif level <= 9:
             p = dict(strategy=Strategy.LAZY2, hash_log=18, search_depth=12, compare_cap=64)
         elif level <= 15:
-            p = dict(strategy=Strategy.BTLAZY2, hash_log=18, search_depth=12, compare_cap=64)
+            p = dict(strategy=Strategy.BTLAZY2, hash_log=18, search_depth=24, compare_cap=64)
         elif level <= 19:
-            p = dict(strategy=Strategy.BTOPT, hash_log=18, search_depth=16, compare_cap=64)
+            # Depth sweep on-chip (2026-08-21, L19/2MB): 16 -> 32 -> 48 = 
+            # 2.755 -> 2.807 -> 2.824; candidate window 15 -> 16 = +0.9%.
+            p = dict(strategy=Strategy.BTOPT, hash_log=18, search_depth=48, compare_cap=64)
         else:
-            p = dict(strategy=Strategy.BTULTRA, hash_log=18, search_depth=20, compare_cap=64)
+            p = dict(strategy=Strategy.BTULTRA, hash_log=18, search_depth=96, compare_cap=64)
         # NOTE: enable_ldm (cross-block 64 KB windows via the sampled LDM
         # pass) stays OPT-IN at every level: blocks compress independently by
         # default, exactly like the reference GPU (its multi-GPU/window modes

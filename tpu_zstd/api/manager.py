@@ -54,12 +54,11 @@ def _pipeline_config(cfg: CompressionConfig):
         # full-block (a 128K-wide two-key 17-operand sort took > 20 min to
         # compile on v5e; 32K windows stay tractable). Measured at the L16
         # shape: win 13 -> 14 -> 15 = 2.633 -> 2.682 -> 2.713.
-        mf_win_log=13 if cfg.level <= 6 else (14 if cfg.level <= 9 else 15),
+        # L13+ pay for a 64 KB candidate window (two-key sort: the packed
+        # single-u32 key tops out at win 15); measured +0.9% at L19.
+        mf_win_log=13 if cfg.level <= 6 else (14 if cfg.level <= 9 else (15 if cfg.level <= 12 else 16)),
         ckpt_every=ACCEL_STRIDE if cfg.decode_accel else 0,
-        # Level-1 acceleration (libzstd's fast-negative-level step): every
-        # 2nd position searches, halving the match-finder's sort rows for
-        # ~10% ratio.
-        sample_log=1 if cfg.level <= 1 else 0,
+        sample_log=0,
         # Long-range supplement for ratio-focused levels (reference LDM).
         ldm=cfg.level >= 7,
     )

@@ -100,8 +100,16 @@ def find_matches(
     mf_win_log: int = 0,
     use_pallas_match: bool = False,
     sample_log: int = 0,
-) -> tuple[jax.Array, jax.Array]:
+    two_band: bool = False,
+) -> tuple[jax.Array, ...]:
     """Best (capped) match per position: returns (best_ml, best_off), pos order.
+
+    two_band=True additionally returns (ml2, off2): the best candidate at a
+    NEAR offset (< 512 bytes). The optimal-parse DP prices offsets by their
+    real bit cost, and a shorter-but-closer candidate often beats the longest
+    match — information a single best-candidate stream cannot carry
+    (the reference's binary-tree search keeps multiple candidates live the
+    same way, cuda_zstd_lz77.cu:555).
 
     sample_log > 0 (windowed mode only): only every 2^sample_log-th position
     participates — sort rows shrink by the same factor (libzstd's fast-level
@@ -215,6 +223,10 @@ def find_matches(
     best_ml = jnp.zeros(shape, dtype=I32)
     best_off = jnp.zeros(shape, dtype=I32)
     best_ext = jnp.zeros(shape, dtype=bool) if pb is not None else None
+    if two_band:
+        assert SS == 1, "two_band requires unsampled search"
+        best_ml2 = jnp.zeros(shape, dtype=I32)
+        best_off2 = jnp.zeros(shape, dtype=I32)
     for d in range(1, depth + 1):
         same = _prev(sk, d, -1) == sk
         pp = _prev(sp, d, 0)
@@ -228,6 +240,11 @@ def find_matches(
         better = ml > best_ml
         best_ml = jnp.where(better, ml, best_ml)
         best_off = jnp.where(better, sp - pp, best_off)
+        if two_band:
+            near = (sp - pp) < 512
+            better2 = near & (ml > best_ml2)
+            best_ml2 = jnp.where(better2, ml, best_ml2)
+            best_off2 = jnp.where(better2, sp - pp, best_off2)
         if best_ext is not None:
             ext_d = same & (spb == _prev(spb, d, -2))
             best_ext = jnp.where(better, ext_d, best_ext)
@@ -238,6 +255,8 @@ def find_matches(
     else:
         gsp = sp
     best_ml = jnp.minimum(best_ml, jnp.maximum(n - gsp, 0))
+    if two_band:
+        best_ml2 = jnp.minimum(best_ml2, jnp.maximum(n - gsp, 0))
     if SS > 1:
         best_off = best_off * SS  # sampled-index delta -> byte offset
 
@@ -249,6 +268,15 @@ def find_matches(
     if best_ext is not None:
         assert cap < (1 << 6)  # leave bit 26 for the left-extension flag
         packed = packed | (best_ext.astype(I32) << 26)
+    if two_band:
+        packed2 = (best_ml2 << 9) | best_off2
+        _, opk, opk2 = jax.lax.sort((sp, packed, packed2), num_keys=1, is_stable=False)
+        opk = opk.reshape(-1)
+        opk2 = opk2.reshape(-1)
+        return (
+            opk >> 20, opk & ((1 << 20) - 1),
+            opk2 >> 9, opk2 & ((1 << 9) - 1),
+        )
     _, opk = jax.lax.sort((sp, packed), num_keys=1, is_stable=False)
     if SS > 1:
         nwin = shape[0]
@@ -466,24 +494,31 @@ def parse_block(
         and 0 < mf_win_log < max(1, (N - 1).bit_length())
         and (N - block_start) % (1 << mf_win_log) == 0
     )
+    bml2 = boff2 = None
     if payload_only:
         # LDM-window mode: the dict/window prefix is reachable ONLY through
         # the sampled long-range pass, so the windowed matcher runs on the
         # payload slice alone — prefix bytes add ZERO rows to the hot sorts
         # (a 768 KB window would otherwise multiply them 7x).
-        bml_p, boff_p = find_matches(
+        fm = find_matches(
             block[block_start:], n - block_start, hash_log=hash_log,
             depth=depth, cap=cap, win_start=0, mf_win_log=mf_win_log,
-            sample_log=sample_log,
+            sample_log=sample_log, two_band=optimal,
         )
         zpad = jnp.zeros((block_start,), I32)
-        bml = jnp.concatenate([zpad, bml_p])
-        boff = jnp.concatenate([zpad, boff_p])
+        bml = jnp.concatenate([zpad, fm[0]])
+        boff = jnp.concatenate([zpad, fm[1]])
+        if optimal:
+            bml2 = jnp.concatenate([zpad, fm[2]])
+            boff2 = jnp.concatenate([zpad, fm[3]])
     else:
-        bml, boff = find_matches(
+        fm = find_matches(
             block, n, hash_log=hash_log, depth=depth, cap=cap, win_start=win_start,
-            mf_win_log=mf_win_log, sample_log=sample_log,
+            mf_win_log=mf_win_log, sample_log=sample_log, two_band=optimal,
         )
+        bml, boff = fm[0], fm[1]
+        if optimal:
+            bml2, boff2 = fm[2], fm[3]
     if ldm and 0 < mf_win_log < max(1, (N - 1).bit_length()):
         # Long-range supplement: candidates beyond the windowed matcher's
         # horizon (reference LDM, src/ldm_implementation.cu). Taken only when
@@ -506,20 +541,114 @@ def parse_block(
         # BTOPT-style exact segment DP over the candidate set (levels 16-22,
         # ops/pallas_opt.py): replaces the greedy/lazy/of_gate heuristics with
         # a bit-cost minimization; the walk then executes its choices
-        # (a chosen step < ml_t deliberately shortens the match). The DP
-        # accepts a per-block literal price (pallas_opt lit_bits); a whole-
-        # block entropy estimate was MEASURED ratio-negative (2.589 vs 2.627
-        # flat on the mixed corpus — residual literals after matching are not
-        # distributed like the block average), so the tuned flat price stays
-        # until real post-parse literal costs are fed back.
-        from .fse_jax import highbit32_jnp
-        from .pallas_opt import opt_steps
+        # (a chosen step < ml_t deliberately shortens the match).
+        #
+        # TWO-PASS PRICING (counterpart of the reference's measured cost
+        # model, cuda_zstd_lz77.h:201-213): pass 1 runs the plain greedy walk
+        # over the same candidates and measures the block's ACTUAL symbol
+        # economics — OF-code histogram, ML-code histogram, residual-literal
+        # entropy — then the DP prices every decision with those bits in
+        # 1/16-bit fixed point. (A whole-block byte-entropy estimate alone
+        # was measured ratio-NEGATIVE in round 3 — residual literals after
+        # matching are not distributed like the block average — which is why
+        # the histograms come from the pass-1 PARSE, not the raw block.)
+        from .fse_jax import highbit32_jnp, ml_code_jnp
+        from .pallas_opt import SCALE, opt_steps
 
         ofc = highbit32_jnp(jnp.maximum(boff + 3, 1))
         mlv = jnp.where(matched, jnp.minimum(ml_t, 127), 0)
-        packed = mlv | (jnp.minimum(ofc, 31) << 7)
-        dp = opt_steps(packed.reshape(-1, seg), min_match, min(cap, 127)).reshape(-1)
+        dp_cap = min(cap, 127)
+
+        # --- pass 1: greedy choices at the same candidate set ---
+        step1 = jnp.where(matched, ml_t, 1)
+        is_seq1, is_lit1 = greedy_parse(step1, matched, None, seg=seg)
+        ch = is_seq1 & (pos < n)
+        lit1 = is_lit1 & (pos < n) & (pos >= block_start)
+        nch = jnp.maximum(jnp.sum(ch.astype(I32)), 1)
+
+        def _sym_bits(hist, total):
+            p = hist.astype(jnp.float32) / total.astype(jnp.float32)
+            bits = -jnp.log2(jnp.maximum(p, 1e-9))
+            unseen = jnp.log2(total.astype(jnp.float32)) + 2.0
+            return jnp.round(
+                jnp.where(hist > 0, bits, unseen) * SCALE
+            ).astype(I32)
+
+        bins32 = jnp.arange(32, dtype=I32)
+        ofh = jnp.sum(
+            (jnp.where(ch, ofc, 99)[:, None] == bins32[None, :]).astype(I32),
+            axis=0,
+        )
+        of_bits = _sym_bits(ofh, nch)
+        mlc1 = ml_code_jnp(jnp.maximum(ml_t, 3))
+        bins53 = jnp.arange(53, dtype=I32)
+        mlh = jnp.sum(
+            (jnp.where(ch, mlc1, 99)[:, None] == bins53[None, :]).astype(I32),
+            axis=0,
+        )
+        ml_bits_h = _sym_bits(mlh, nch)
+        # Literal price: entropy of the PASS-1 RESIDUAL literals.
+        nlit1 = jnp.maximum(jnp.sum(lit1.astype(I32)), 1)
+        byte_bins = jnp.arange(256, dtype=I32)
+        lith = jnp.sum(
+            (jnp.where(lit1, block.astype(I32), 999)[:, None] == byte_bins[None, :]).astype(I32),
+            axis=0,
+        )
+        pl_ = lith.astype(jnp.float32) / nlit1.astype(jnp.float32)
+        h_lit = -jnp.sum(jnp.where(lith > 0, pl_ * jnp.log2(jnp.maximum(pl_, 1e-9)), 0.0))
+        lit_price = jnp.clip(jnp.round(h_lit * SCALE).astype(I32), SCALE // 2, 11 * SCALE)
+
+        # --- per-block cost bank ---
+        # lanes [0,32): OF-symbol bits + LL-symbol amortization (each match
+        # ends a literal run and pays one LL symbol; ~entropy-of-LL is close
+        # to 3 bits on mixed data). lanes [32, 32+cap-mm]: ML-symbol bits +
+        # EXACT ML extra bits for that length.
+        LL_AMORT = 3 * SCALE
+        from ..constants import ML_BASELINE, ML_BITS
+
+        import numpy as _np
+
+        mlcode_l = _np.searchsorted(
+            _np.asarray(ML_BASELINE), _np.arange(min_match, dp_cap + 1), side="right"
+        ) - 1
+        mlx_l = _np.asarray(ML_BITS)[mlcode_l] * SCALE
+        bank = jnp.zeros((128,), I32)
+        bank = bank.at[:32].set(of_bits + LL_AMORT)
+        bank = bank.at[32 : 32 + dp_cap + 1 - min_match].set(
+            ml_bits_h[jnp.asarray(mlcode_l, I32)] + jnp.asarray(mlx_l, I32)
+        )
+
+        # Second (near-band) candidate: best match at offset < 512. The DP
+        # may prefer it at a shorter length when the offset bits win.
+        ml2_t = jnp.minimum(bml2, room)
+        ok2 = (
+            (ml2_t >= min_match) & (boff2 > 0) & (pos < n) & (pos >= block_start)
+        )
+        mlv2 = jnp.where(ok2, jnp.minimum(ml2_t, 127), 0)
+        ofc2 = highbit32_jnp(jnp.maximum(boff2 + 3, 1))
+        packed = (
+            mlv
+            | (jnp.minimum(ofc, 31) << 7)
+            | (mlv2 << 12)
+            | (jnp.minimum(ofc2, 15) << 19)
+        )
+        nseg_b = N // seg
+        dp = opt_steps(
+            packed.reshape(-1, seg), min_match, dp_cap,
+            lit_bits=jnp.broadcast_to(lit_price, (nseg_b,)),
+            cost_bank=jnp.broadcast_to(bank, (nseg_b, 128)),
+        ).reshape(-1)
         matched = dp > 1
+        # Which candidate did the DP price for the chosen length? Mirror the
+        # kernel's min(): candidate 2 wins when feasible and not costlier.
+        def _of_cost(c):
+            oh = (c[:, None] == bins32[None, :]).astype(I32)
+            return jnp.sum(oh * of_bits[None, :], axis=1) + c * SCALE
+
+        mc1 = _of_cost(jnp.minimum(ofc, 31))
+        mc2 = _of_cost(jnp.minimum(ofc2, 31))
+        use2 = matched & (mlv2 >= dp) & ((mlv < dp) | (mc2 <= mc1))
+        boff = jnp.where(use2, boff2, boff)
         ml_t = jnp.where(matched, dp, ml_t)
         step = jnp.where(matched, dp, 1)
     else:

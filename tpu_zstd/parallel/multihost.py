@@ -13,10 +13,11 @@ Design:
   the global (B, N) batch with a NamedSharding over a 1-D 'batch' mesh that
   spans every chip in the slice — ICI carries the intra-host axis, DCN the
   inter-host axis, and the compression itself needs ZERO collectives.
-- Ordered gather: per-block content lengths are tiny; they are all-gathered
-  via jax.experimental.multihost_utils so every host can assemble the frames
-  it owns (process_allgather of the compressed payload happens only for
-  blocks this host needs).
+- Ordered gather: per-block content lengths travel first (tiny), then the
+  payload all-gather ships contents TRIMMED to the smallest bucket covering
+  the longest compressed block (sharding.compress_blocks_sharded) — DCN
+  volume stays within ~1.5x of the total compressed bytes instead of the
+  padded batch size.
 """
 
 from __future__ import annotations

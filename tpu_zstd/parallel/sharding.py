@@ -87,9 +87,32 @@ def compress_blocks_sharded(
     if multiproc:
         from jax.experimental import multihost_utils as mhu
 
-        contents, clens, btypes = (
-            np.asarray(mhu.process_allgather(o, tiled=True)) for o in out
-        )
+        # Two-step gather keeps DCN volume near the compressed size: the
+        # tiny per-block lengths travel first, then the (B, N) contents are
+        # TRIMMED device-side to the smallest pow2 bucket covering the
+        # longest compressed block before the payload all-gather — at
+        # typical 2.5-3x ratios that is ~3x less DCN traffic than shipping
+        # the padded batch (round-3 review flagged the full-batch gather).
+        clens = np.asarray(mhu.process_allgather(out[1], tiled=True))
+        btypes = np.asarray(mhu.process_allgather(out[2], tiled=True))
+        N = blocks.shape[1]
+        mx = int(clens[:B].max()) if B else 1
+        bucket = 64
+        while bucket < mx:
+            bucket *= 2
+        bucket = min(bucket, N)
+        trimmed = _trim_sharded(out[0], bucket)
+        contents = np.asarray(mhu.process_allgather(trimmed, tiled=True))
+        if bucket < N:
+            contents = np.concatenate(
+                [contents, np.zeros((contents.shape[0], N - bucket), contents.dtype)],
+                axis=1,
+            )
     else:
         contents, clens, btypes = jax.device_get(out)
     return contents[:B], clens[:B], btypes[:B]
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _trim_sharded(contents, bucket: int):
+    return contents[:, :bucket]
