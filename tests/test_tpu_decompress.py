@@ -6,6 +6,7 @@ device FSE sequence decode + parallel sequence execution, validated on frames
 from BOTH our encoder and stock libzstd (all table modes, huffman literals,
 cross-block matches, repcode carry)."""
 
+import jax
 import numpy as np
 import pytest
 import zstandard as zstd
@@ -74,3 +75,27 @@ def test_rep_offset_rich_stream():
     data = (unit + b"x" + unit + unit + b"y" + unit) * 200
     c = zstd.ZstdCompressor(level=5).compress(data)
     assert decompress_batch_tpu([c])[0] == data
+
+
+def test_prepared_plan_multiblock_frames():
+    """Multi-block frames no longer raise in prepare_decompress_batch: block
+    rounds chain on device with window/repcode carry (round-3 review
+    missing #5; reference decompress_batch_preallocated handles arbitrary
+    frames, manager.h:193-273)."""
+    import zstandard
+
+    from tpu_zstd.api.decompress import prepare_decompress_batch
+
+    rng = np.random.default_rng(5)
+    items = []
+    for k in range(3):
+        base = (b"multi block frame payload %d " % k) * 6000
+        items.append((base + rng.integers(0, 256, 50000, np.uint8).tobytes())[
+            : 300_000 + k * 1000])
+    items.append(b"small single block " * 100)  # mixed batch
+    frames = [zstandard.ZstdCompressor(level=3).compress(it) for it in items]
+    plan = prepare_decompress_batch(frames)
+    out, lens = jax.device_get(plan.execute())
+    for i, it in enumerate(items):
+        assert lens[i] == len(it)
+        assert out[i, : len(it)].tobytes() == it
