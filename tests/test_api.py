@@ -237,3 +237,32 @@ def test_ldm_cross_block_window(dctx):
     assert len(with_ldm) < len(without) // 2
 
 
+
+
+def test_ldm_window_log_reach():
+    """window_log extends enable_ldm's cross-block reach (round-3 review #7):
+    a duplicate ~120 KB back is invisible to independent 64 KB-window blocks
+    but compresses once a 256 KB window covers it."""
+    import zstandard
+    from dataclasses import replace
+
+    import numpy as np
+
+    from tpu_zstd.api.config import CompressionConfig
+    from tpu_zstd.api.manager import compress_items_tpu
+
+    rng = np.random.default_rng(3)
+    chunk = rng.integers(0, 256, 100_000, np.uint8).tobytes()
+    mid = rng.integers(0, 256, 120_000, np.uint8).tobytes()
+    data = chunk + mid + chunk  # duplicate 220 KB after the original
+    base_cfg = replace(
+        CompressionConfig.from_level(3), block_size=32 * 1024
+    )
+    f_plain = compress_items_tpu([data], base_cfg)[0]
+    f_ldm = compress_items_tpu(
+        [data], replace(base_cfg, enable_ldm=True, window_log=18)
+    )[0]
+    d = zstandard.ZstdDecompressor()
+    assert d.decompress(f_ldm, max_output_size=len(data)) == data
+    # The duplicate chunk must be substantially captured by the 256 KB window.
+    assert len(f_ldm) < len(f_plain) - 60_000, (len(f_ldm), len(f_plain))

@@ -238,10 +238,19 @@ def compress_items_tpu(
     pcfg = _pipeline_config(cfg)
     N = pcfg.block_size
     windowed = cfg.enable_ldm or history is not None
-    # 64 KB cross-block reach (a 256 KB ladder was measured ratio-NEGATIVE on
-    # the mixed corpus: the extra LDM rows dilute the chain without matching
-    # redundancy at those distances).
-    dcap = LDM_WINDOW_CAP if windowed else 0
+    # Cross-block reach: 64 KB default (a blanket 256 KB ladder was measured
+    # ratio-NEGATIVE on the mixed corpus — extra LDM rows dilute the chain
+    # without redundancy at those distances). config.window_log raises it
+    # explicitly, up to 1 MB: on a long-range-redundant corpus (400 KB
+    # duplicate ~900 KB back) a 1 MB window measured +12% ratio on-chip
+    # where 64/256 KB were neutral (2026-08-21; reference LDM reaches
+    # window_log <= 31, ldm.h:10-29).
+    dcap = 0
+    if windowed:
+        dcap = LDM_WINDOW_CAP
+        if cfg.window_log:
+            dcap = min(1 << cfg.window_log, 1 << 20)
+        dcap = -(-dcap // 4096) * 4096
     if windowed:
         # enable_ldm keeps the cheap windowed local search and reaches the
         # cross-block prefix through the sampled LDM pass (>= 16-byte
