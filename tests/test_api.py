@@ -131,9 +131,10 @@ def test_hybrid_routing(corpus):
 
 
 def test_hybrid_decompress_routing(corpus):
-    """Decode-accelerated frames route decompression to the TPU path
-    (reference hybrid.cu:278-327 device-decompress routing); FORCE modes and
-    non-accel small frames behave as before."""
+    """Host-bound decodes route to CPU libzstd (the measured winner — the
+    single-chip device decoder is executor-bound; round-3 review weak #1
+    flagged the old accel->TPU rule as parity-in-shape). FORCE modes and
+    the device-resident inference route still reach the TPU decoder."""
     from dataclasses import replace
 
     from tpu_zstd.api.config import CompressionConfig
@@ -150,8 +151,13 @@ def test_hybrid_decompress_routing(corpus):
     res = HybridResult()
     out = eng.decompress(frame, result=res)
     assert out == data
-    assert res.backend == tpu_zstd.Backend.TPU_KERNELS
-    assert "TPU" in res.routing_reason
+    assert res.backend == tpu_zstd.Backend.CPU_LIBZSTD
+    assert "CPU" in res.routing_reason
+
+    eng_tpu = HybridEngine(HybridConfig(mode=RoutingMode.FORCE_TPU), compression=SMALL)
+    res_t = HybridResult()
+    assert eng_tpu.decompress(frame, result=res_t) == data
+    assert res_t.backend == tpu_zstd.Backend.TPU_KERNELS
 
     eng_cpu = HybridEngine(HybridConfig(mode=RoutingMode.FORCE_CPU), compression=SMALL)
     res2 = HybridResult()
@@ -252,17 +258,17 @@ def test_ldm_window_log_reach():
     from tpu_zstd.api.manager import compress_items_tpu
 
     rng = np.random.default_rng(3)
-    chunk = rng.integers(0, 256, 100_000, np.uint8).tobytes()
-    mid = rng.integers(0, 256, 120_000, np.uint8).tobytes()
-    data = chunk + mid + chunk  # duplicate 220 KB after the original
+    chunk = rng.integers(0, 256, 40_000, np.uint8).tobytes()
+    mid = rng.integers(0, 256, 50_000, np.uint8).tobytes()
+    data = chunk + mid + chunk  # duplicate 90 KB after the original
     base_cfg = replace(
-        CompressionConfig.from_level(3), block_size=32 * 1024
+        CompressionConfig.from_level(3), block_size=16 * 1024
     )
     f_plain = compress_items_tpu([data], base_cfg)[0]
     f_ldm = compress_items_tpu(
-        [data], replace(base_cfg, enable_ldm=True, window_log=18)
+        [data], replace(base_cfg, enable_ldm=True, window_log=17)
     )[0]
     d = zstandard.ZstdDecompressor()
     assert d.decompress(f_ldm, max_output_size=len(data)) == data
-    # The duplicate chunk must be substantially captured by the 256 KB window.
-    assert len(f_ldm) < len(f_plain) - 60_000, (len(f_ldm), len(f_plain))
+    # The duplicate chunk must be substantially captured by the 128 KB window.
+    assert len(f_ldm) < len(f_plain) - 24_000, (len(f_ldm), len(f_plain))

@@ -120,8 +120,14 @@ class HybridEngine:
             if size >= self.config.tpu_device_threshold:
                 return Backend.TPU_KERNELS, "device-resident data stays on TPU"
             return Backend.TPU_KERNELS, "device-resident small data (avoid transfer)"
-        if not is_compress and accel:
-            return Backend.TPU_KERNELS, "decode-accelerated frame: TPU chunk-parallel decode"
+        if not is_compress:
+            # Host-bound decode: the CPU path wins on measured throughput
+            # even for accel frames (the single-chip device decoder is
+            # executor-bound at ~70 MB/s, tools/decomp_exec_profile.py).
+            # The TPU decoder earns its keep when the OUTPUT stays on
+            # device — that is the decompress_to_device / DecompressPlan
+            # inference path, which routes explicitly, not through here.
+            return Backend.CPU_LIBZSTD, "host-bound decode: CPU libzstd wins"
         if size >= self.config.tpu_batch_threshold:
             return Backend.TPU_KERNELS, "large host buffer: TPU batch path"
         return Backend.CPU_LIBZSTD, "small host buffer: CPU faster than transfer"
