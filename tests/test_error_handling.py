@@ -101,10 +101,16 @@ def test_skippable_frame_passthrough(good):
     assert decompress_batch_tpu([skip + good])[0] == data
 
 
-def test_to_device_rejects_multiblock():
-    big = _frame(b"m" * 9000)  # 3 blocks at 4096
-    with pytest.raises(ValueError, match="multi-block"):
-        decompress_batch_to_device([big], max_block=4096)
+def test_to_device_handles_multiblock():
+    """Multi-block frames now decode through the chained-round device plan
+    (round-4; they used to raise ValueError)."""
+    import jax
+
+    data = b"m" * 9000  # 3 blocks at 4096
+    big = _frame(data)
+    out, lens = jax.device_get(decompress_batch_to_device([big], max_block=4096))
+    assert lens[0] == len(data)
+    assert out[0, : len(data)].tobytes() == data
 
 
 def test_to_device_roundtrip(rng):
