@@ -15,6 +15,20 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite's dominant cost is re-compiling the
+# same staged-pipeline shapes in every xdist worker process (and again on a
+# second run). With the cache, only the first worker to reach a shape pays
+# LLVM; everyone else (including back-to-back reruns) loads the compiled
+# executable from disk. Also shrinks the per-process accumulated-compile count
+# that triggers the XLA:CPU LLVM crash.
+_cache_dir = os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import signal
 
 import numpy as np

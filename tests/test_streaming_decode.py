@@ -126,3 +126,38 @@ def test_streaming_decode_bad_magic():
     dec = StreamingDecompressor()
     with pytest.raises(ValueError, match="magic"):
         dec.decompress_chunk(b"\x00\x01\x02\x03\x04\x05\x06\x07")
+
+
+def test_streaming_history_honors_window_log():
+    """With config.window_log=19 the streaming compressor keeps 512 KB of
+    history (round-4 review weak #8: it used to trim at 64 KB regardless of
+    the header's promise), so a repeat ~330 KB back compresses as matches
+    and round-trips."""
+    rng = np.random.default_rng(11)
+    cfg = CompressionConfig.from_level(1)
+    cfg.block_size = 16384
+    cfg.hash_log = 14
+    cfg.window_log = 19
+
+    marker = bytes(rng.integers(0, 256, 24576, dtype=np.uint8))
+    # Patterned filler occupies only ~16 hash buckets, so the marker's hash
+    # chains stay shallow and the second copy finds the first at level-1
+    # search depth — the test isolates window REACH, not chain depth.
+    filler = b"-filler-pattern." * (304 * 64)
+
+    sm = StreamingManager(config=cfg, window_history=True)
+    comp = bytearray(sm.compress_chunk(marker))
+    for i in range(0, len(filler), 76 * 1024):
+        comp += sm.compress_chunk(filler[i : i + 76 * 1024])
+    c_repeat = sm.compress_chunk(marker)  # ~330 KB after the original
+    comp += c_repeat
+    comp += sm.flush()
+
+    # The repeated random marker is incompressible locally; only a cross-chunk
+    # match at ~330 KB distance can shrink it.
+    assert len(c_repeat) < len(marker) // 2, len(c_repeat)
+
+    dec = StreamingDecompressor()
+    out = dec.decompress_chunk(bytes(comp))
+    assert dec.flush() == b""
+    assert out == marker + filler + marker

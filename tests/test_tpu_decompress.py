@@ -99,3 +99,52 @@ def test_prepared_plan_multiblock_frames():
     for i, it in enumerate(items):
         assert lens[i] == len(it)
         assert out[i, : len(it)].tobytes() == it
+
+
+def test_prepared_plan_rejects_long_window():
+    """A frame whose window exceeds the prepared-plan 4 MiB carry cap must
+    raise (round-4 review weak #4: it previously clamped silently and could
+    decode to garbage), pointing at decompress_batch_tpu instead."""
+    from tpu_zstd.api.decompress import prepare_decompress_batch
+    from tpu_zstd.format.frame import write_frame_header
+
+    # Multi-block frame declaring an 8 MiB window (content size unknown).
+    frame = bytearray(write_frame_header(None, window_log=23))
+    frame += ((5 << 3) | (0 << 1) | 0).to_bytes(3, "little") + b"hello"  # raw
+    frame += ((3 << 3) | (0 << 1) | 1).to_bytes(3, "little") + b"end"  # last
+    with pytest.raises(ValueError, match="window"):
+        prepare_decompress_batch([bytes(frame)])
+
+
+def test_prepared_plan_checksum_verify():
+    """DecompressPlan.execute(verify_checksum=True) checks stored XXH64
+    checksums and raises on mismatch (round-4 review weak #4)."""
+    from tpu_zstd.api.decompress import prepare_decompress_batch
+
+    data = b"checksum verified payload " * 200
+    frame = compress(data, CFG, checksum=True)
+    plan = prepare_decompress_batch([frame], max_block=8192)
+    out, lens = jax.device_get(plan.execute(verify_checksum=True))
+    assert out[0, : len(data)].tobytes() == data
+
+    bad = bytearray(frame)
+    bad[-1] ^= 0xFF  # corrupt the stored checksum
+    plan2 = prepare_decompress_batch([bytes(bad)], max_block=8192)
+    with pytest.raises(ValueError, match="checksum"):
+        plan2.execute(verify_checksum=True)
+
+
+def test_prepared_plan_checksum_verify_multiblock():
+    data = (b"multi-block checksum payload " * 700)[: 3 * 4096 + 123]
+    frame = compress(data, CFG, checksum=True)
+    from tpu_zstd.api.decompress import prepare_decompress_batch
+
+    plan = prepare_decompress_batch([frame], max_block=4096)
+    out, lens = jax.device_get(plan.execute(verify_checksum=True))
+    assert lens[0] == len(data)
+
+    bad = bytearray(frame)
+    bad[-2] ^= 0x55
+    plan2 = prepare_decompress_batch([bytes(bad)], max_block=4096)
+    with pytest.raises(ValueError, match="checksum"):
+        plan2.execute(verify_checksum=True)

@@ -442,7 +442,7 @@ class DecompressPlan:
     so steady-state repeated decodes go at device speed.
     """
 
-    def __init__(self, runners, nf, inv):
+    def __init__(self, runners, nf, inv, checksums=None):
         self._runners = runners  # [(zero-arg device fn, group size), ...]
         self._nf = nf
         # Upload the regrouping permutation once — execute() must stay free
@@ -452,21 +452,45 @@ class DecompressPlan:
 
             inv = jnp.asarray(inv)
         self._inv = inv  # None when a single group covers all frames
+        # Per-frame stored frame checksums (low 4 bytes of XXH64), None where
+        # the frame carries none — for the opt-in execute() verification.
+        self._checksums = checksums or [None] * nf
 
-    def execute(self):
-        """Device-only decode. Returns (out (B, max_block) u8, lengths (B,))."""
+    def execute(self, verify_checksum: bool = False):
+        """Device-only decode. Returns (out (B, max_block) u8, lengths (B,)).
+
+        verify_checksum=True additionally fetches the outputs to the host and
+        checks each frame's stored XXH64 content checksum (frames without one
+        are skipped) — raising ValueError on mismatch. This costs a D2H
+        transfer per call; leave it off in steady-state inference loops.
+        """
+        import jax
         import jax.numpy as jnp
 
         if self._inv is None:
             out, out_len = self._runners[0][0]()
-            return out[: self._nf], out_len[: self._nf]
-        parts = []
-        for run, cnt in self._runners:
-            out_g, len_g = run()
-            parts.append((out_g[:cnt], len_g[:cnt]))
-        inv = self._inv
-        out = jnp.concatenate([p[0] for p in parts], axis=0)[inv]
-        out_len = jnp.concatenate([p[1] for p in parts], axis=0)[inv]
+            out, out_len = out[: self._nf], out_len[: self._nf]
+        else:
+            parts = []
+            for run, cnt in self._runners:
+                out_g, len_g = run()
+                parts.append((out_g[:cnt], len_g[:cnt]))
+            inv = self._inv
+            out = jnp.concatenate([p[0] for p in parts], axis=0)[inv]
+            out_len = jnp.concatenate([p[1] for p in parts], axis=0)[inv]
+        if verify_checksum and any(c is not None for c in self._checksums):
+            from ..format.xxhash import content_checksum
+
+            out_h, len_h = jax.device_get((out, out_len))
+            for i, stored in enumerate(self._checksums):
+                if stored is None:
+                    continue
+                got = content_checksum(out_h[i, : int(len_h[i])].tobytes())
+                if got != stored:
+                    raise ValueError(
+                        f"content checksum mismatch (frame {i}): "
+                        f"stored {stored:#010x} != computed {got:#010x}"
+                    )
         return out, out_len
 
 
@@ -515,11 +539,27 @@ def _prepare_multiblock_plan(
         hdr = parse_frame_header(f[pos:])
         hdrs.append(hdr)
         cursors.append(pos + hdr.header_size)
+    # The chained-round carry window is capped at 4 MiB (VMEM/HBM shape
+    # budget). A frame whose declared window (bounded by its content size
+    # when known) exceeds the cap could reference history the plan no longer
+    # holds and decode to garbage — refuse it loudly instead
+    # (decompress_batch_tpu handles windows up to 1 GiB).
+    PLAN_WINDOW_CAP = 1 << 22
+    for i, h in enumerate(hdrs):
+        need = h.window_size or h.content_size or 0
+        if h.content_size is not None:
+            need = min(need, h.content_size)
+        if need > PLAN_WINDOW_CAP:
+            raise ValueError(
+                f"frame {i}: window size {need} exceeds the prepared-plan cap "
+                f"({PLAN_WINDOW_CAP}); use decompress_batch_tpu for long-window "
+                "frames"
+            )
     window_cap = max(
         4096,
         -(-min(
             max(h.window_size or h.content_size or (1 << 22) for h in hdrs),
-            1 << 22,
+            PLAN_WINDOW_CAP,
         ) // 4096) * 4096,
     )
     done = [False] * nf
@@ -638,7 +678,13 @@ def _prepare_multiblock_plan(
             jnp.stack(outs), jnp.stack(lens), MO
         )
 
-    return DecompressPlan([(run, nf)], nf, None)
+    checksums = [
+        int.from_bytes(frames[i][cursors[i] : cursors[i] + 4], "little")
+        if hdrs[i].has_checksum and cursors[i] + 4 <= len(frames[i])
+        else None
+        for i in range(nf)
+    ]
+    return DecompressPlan([(run, nf)], nf, None, checksums)
 
 
 def _assemble_rounds(outs, lens, MO: int):
@@ -712,6 +758,7 @@ def prepare_decompress_batch(
     raws: list[bytes | None] = []
     bodies: list[bytes | None] = []
     metas: list = []  # per frame: accel block record or None
+    checksums: list = []  # per frame stored XXH64 low-4-bytes (or None)
     accel_stride = None
     lit_stride = None
     for f in frames:
@@ -738,6 +785,12 @@ def prepare_decompress_batch(
                 f"({hdr.content_size or bsize} > {max_block})"
             )
         body = f[pos + 3 : pos + 3 + (1 if btype == BLOCK_RLE else bsize)]
+        ck_pos = pos + 3 + (1 if btype == BLOCK_RLE else bsize)
+        checksums.append(
+            int.from_bytes(f[ck_pos : ck_pos + 4], "little")
+            if hdr.has_checksum and ck_pos + 4 <= len(f)
+            else None
+        )
         if btype == BLOCK_RAW:
             plans.append(None)
             raws.append(body)
@@ -1121,7 +1174,9 @@ def prepare_decompress_batch(
         groups.setdefault(key, []).append(i)
 
     if len(groups) <= 1:
-        return DecompressPlan([(_prepare_subbatch(list(range(nf))), nf)], nf, None)
+        return DecompressPlan(
+            [(_prepare_subbatch(list(range(nf))), nf)], nf, None, checksums
+        )
     runners = []
     order = []
     for key in sorted(groups):
@@ -1130,4 +1185,4 @@ def prepare_decompress_batch(
         order.extend(idxs)
     inv = np.empty(nf, np.int32)
     inv[np.asarray(order)] = np.arange(nf, dtype=np.int32)
-    return DecompressPlan(runners, nf, inv)
+    return DecompressPlan(runners, nf, inv, checksums)

@@ -651,7 +651,14 @@ class StreamingManager:
             # the `last` flag of the final block.
             out += _strip_frame_to_blocks(frame, clear_last=True)
         if self.window_history:
-            self._history = (self._history + chunk)[-LDM_WINDOW_CAP:]
+            # Honor the window_log the frame header declares (up to the 1 MB
+            # compressor reach): a config.window_log of 20 keeps 1 MB of
+            # history so cross-chunk matches actually span the promised
+            # window, not just the 64 KB default.
+            keep = LDM_WINDOW_CAP
+            if self.config.window_log:
+                keep = min(1 << self.config.window_log, 1 << 20)
+            self._history = (self._history + chunk)[-keep:]
         self.stats.total_input_bytes += len(chunk)
         self.stats.total_output_bytes += len(out)
         return bytes(out)

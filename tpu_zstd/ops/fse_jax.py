@@ -614,7 +614,8 @@ def prepare_sequences_auto(
 
 
 def encode_prepared(
-    prep: dict, nseq: jax.Array, msb: int, out_bytes_cap: int, ckpt_every: int = 0
+    prep: dict, nseq: jax.Array, msb: int, out_bytes_cap: int, ckpt_every: int = 0,
+    chains: tuple | None = None,
 ):
     """Bucket-sized half: state chains, bit fields, deposit, section assembly.
 
@@ -631,10 +632,15 @@ def encode_prepared(
     from ..constants import SEQ_RLE
 
     rle3 = prep["mode3"] == SEQ_RLE
-    pre3, fin3, nb3_steps = _state_chain3_cf(
-        prep["st3"], prep["dnb3"], prep["dfs3"], prep["init3"],
-        prep["tl3"], rle3, rsym3, nseq, msb,
-    )
+    if chains is not None:
+        # Batched Pallas state chains computed by the caller outside vmap
+        # (ops/pallas_chain.py) — identical outputs to _state_chain3_cf.
+        pre3, fin3, nb3_steps = chains
+    else:
+        pre3, fin3, nb3_steps = _state_chain3_cf(
+            prep["st3"], prep["dnb3"], prep["dfs3"], prep["init3"],
+            prep["tl3"], rle3, rsym3, nseq, msb,
+        )
     fin_ll, fin_of, fin_ml = fin3[0], fin3[1], fin3[2]
 
     ts3 = (1 << prep["tl3"]).astype(I32)

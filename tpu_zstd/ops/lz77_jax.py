@@ -260,9 +260,46 @@ def find_matches(
     if SS > 1:
         best_off = best_off * SS  # sampled-index delta -> byte offset
 
-    # Return to position order by sorting on position. (ml, off[, ext]) ride
-    # as ONE packed operand — sort cost grows ~linearly with operand count on
-    # v5e (tools/sort_micro.py); ml <= cap <= 63 / off < 2^20 both fit.
+    # Return to position order by sorting on position. In windowed mode the
+    # whole row — sp | ext | ml | off — packs into ONE 31-bit sort key (sp in
+    # the top bits, so ordering is unchanged), removing the payload operand
+    # from the restore sort entirely; sort cost is ~linear in operand count
+    # on v5e (tools/sort_micro.py). Fallback: packed payload beside the key.
+    mlb = max(4, cap.bit_length())  # ml field width
+    eb = 1 if best_ext is not None else 0
+    low_bits = mf_win_log + mlb + eb if windowed else 99
+    if windowed and plog + low_bits <= 31:
+        key2 = (sp << low_bits) | (best_ml << mf_win_log) | best_off
+        if best_ext is not None:
+            key2 = key2 | (best_ext.astype(I32) << (mf_win_log + mlb))
+        if two_band:
+            packed2 = (best_ml2 << 9) | best_off2
+            skey, opk2 = jax.lax.sort((key2, packed2), num_keys=1, is_stable=False)
+            skey = skey.reshape(-1)
+            opk2 = opk2.reshape(-1)
+            return (
+                (skey >> mf_win_log) & ((1 << mlb) - 1),
+                skey & ((1 << mf_win_log) - 1),
+                opk2 >> 9, opk2 & ((1 << 9) - 1),
+            )
+        (opk,) = jax.lax.sort((key2,), num_keys=1, is_stable=False)
+        if SS > 1:
+            nwin = shape[0]
+            mlv = (opk >> mf_win_log) & ((1 << mlb) - 1)
+            offv = opk & ((1 << mf_win_log) - 1)
+            extv = (opk >> (mf_win_log + mlb)) & 1
+            full = jnp.zeros((nwin, (1 << mf_win_log) // SS, SS), I32)
+            ml_f = full.at[:, :, 0].set(mlv).reshape(-1)
+            off_f = full.at[:, :, 0].set(offv).reshape(-1)
+            ext_f = full.at[:, :, 0].set(extv).reshape(-1)
+            nx_ml = jnp.roll(ml_f, -1)
+            nx_off = jnp.roll(off_f, -1)
+            take = (jnp.roll(ext_f, -1) > 0) & (nx_ml > 0) & (ml_f == 0)
+            ml_f = jnp.where(take, jnp.minimum(nx_ml + 1, jnp.maximum(n - pos, 0)), ml_f)
+            off_f = jnp.where(take, nx_off, off_f)
+            return ml_f, off_f
+        opk = opk.reshape(-1)
+        return (opk >> mf_win_log) & ((1 << mlb) - 1), opk & ((1 << mf_win_log) - 1)
     assert cap < (1 << 11)  # ml field: 11 bits above the 20-bit offset
     packed = (best_ml << 20) | best_off
     if best_ext is not None:

@@ -365,9 +365,26 @@ def _encode_stage(blocks, lengths, seqs, cfg: PipelineConfig, msb: int):
                 a[:msb], b[:msb], c[:msb], n, msb, o[:msb] if cfg.ckpt_every else None
             )
         )(seqs.ll, seqs.ml, seqs.ob, seqs.nseq, seqs.off)
-        enc = jax.vmap(lambda p, n: encode_prepared(p, n, msb, cap, cfg.ckpt_every))(
-            prep, seqs.nseq
-        )
+        if jax.default_backend() == "tpu" and msb % 128 == 0 and msb <= 32768:
+            # Batched Pallas state chains (ops/pallas_chain.py) outside the
+            # vmap; the per-block encode consumes them via `chains`.
+            from ..constants import SEQ_RLE
+            from .pallas_chain import state_chain3_pallas
+
+            ch = state_chain3_pallas(
+                prep["st3"], prep["dnb3"], prep["dfs3"], prep["init3"],
+                prep["tl3"], prep["mode3"] == SEQ_RLE, prep["rsym3"],
+                seqs.nseq, msb,
+            )
+            enc = jax.vmap(
+                lambda p, n, c0, c1, c2: encode_prepared(
+                    p, n, msb, cap, cfg.ckpt_every, chains=(c0, c1, c2)
+                )
+            )(prep, seqs.nseq, *ch)
+        else:
+            enc = jax.vmap(lambda p, n: encode_prepared(p, n, msb, cap, cfg.ckpt_every))(
+                prep, seqs.nseq
+            )
         if cfg.ckpt_every:
             seq_bytes, seq_len, ck_bits, ck_states, ck_r0 = enc
             ck = (ck_bits, ck_states, ck_r0)
