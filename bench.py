@@ -101,11 +101,14 @@ def main() -> None:
     # every batch's compressed lengths.
     REPS = 5
     dt = float("inf")
+    stack_lens = jax.jit(lambda ls: jnp.stack(ls))
     for _ in range(2):  # best-of-2 rounds (shields against tunnel hiccups)
         t0 = time.perf_counter()
         outs = compress_blocks_staged_many([(jb, jl)] * REPS, DEFAULT_CONFIG)
-        for o in outs:
-            jax.device_get(o[1])
+        # ONE final fetch of every batch's compressed lengths — the
+        # reference's batch API likewise syncs its stream pool once at the
+        # end of the whole batch (reference src/cuda_zstd_manager.cu:5782).
+        jax.device_get(stack_lens([o[1] for o in outs]))
         dt = min(dt, (time.perf_counter() - t0) / REPS)
     gbps = B * N / dt / 1e9
 

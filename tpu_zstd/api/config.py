@@ -114,11 +114,13 @@ class CompressionConfig:
             # retune shifted the sort-cost balance.
             p = dict(strategy=Strategy.FAST, hash_log=15, search_depth=3, compare_cap=16)
         elif level <= 4:
-            # Carried-word count (compare_cap / 4) is a REAL sort cost on v5e
-            # (tools/sample_ab.py sweep 2026-08-21): cap 32 -> 12 at depth 12
-            # was +37% throughput for -0.4% ratio; the same-offset merge pass
-            # re-joins matches truncated at the cap.
-            p = dict(strategy=Strategy.LAZY, hash_log=17, search_depth=12, compare_cap=12)
+            # Carried-word count (compare_cap / 4) is a REAL sort cost on v5e:
+            # cap 32 -> 12 at depth 12 was +37% throughput for -0.4% ratio,
+            # and the round-5 re-sweep found cap 8 BEATS 12 on both axes
+            # (parse 46.8 -> 41.5 ms per 128x128K, ratio 2.706 -> 2.713 —
+            # the same-offset merge pass re-joins matches truncated at the
+            # cap, and shorter carried words improve tie-breaking).
+            p = dict(strategy=Strategy.LAZY, hash_log=17, search_depth=12, compare_cap=8)
         elif level <= 6:
             p = dict(strategy=Strategy.LAZY, hash_log=17, search_depth=8, compare_cap=64)
         elif level <= 9:

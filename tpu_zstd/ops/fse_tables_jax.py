@@ -79,13 +79,37 @@ def _floor_log2(v: jax.Array) -> jax.Array:
     return out
 
 
+def histogram_matmul(vals: jax.Array, live: jax.Array, nbins: int) -> jax.Array:
+    """(nbins,) counts of vals where live — two nibble one-hots + one MXU
+    contraction.
+
+    hist[hi*LO + lo] = sum_i oh_hi[i,hi] * oh_lo[i,lo] is a (HI+1, N) @
+    (N, LO) matmul, so the VPU builds only N*(HI+1+LO) one-hot compares
+    instead of N*nbins (8-16x less for byte/code alphabets); the contraction
+    itself rides the MXU. bf16 0/1 operands accumulated in f32 are exact for
+    counts < 2^24 (the reference's scatter-based count_frequencies_kernel,
+    src/cuda_zstd_fse.cu:543, has no TPU analogue — scatter-add is ~100M
+    elem/s on v5e)."""
+    lo_log = 4 if nbins > 64 else 3
+    LO = 1 << lo_log
+    HI = -(-nbins // LO)
+    v = jnp.where(live, vals.astype(I32), HI * LO)  # dedicated exclude row
+    hi = v >> lo_log
+    lo = v & (LO - 1)
+    oh_hi = (hi[:, None] == jnp.arange(HI + 1, dtype=I32)[None, :]).astype(BF)
+    oh_lo = (lo[:, None] == jnp.arange(LO, dtype=I32)[None, :]).astype(BF)
+    m = jax.lax.dot_general(
+        oh_hi, oh_lo, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (HI+1, LO)
+    return m[:HI].reshape(-1)[:nbins].astype(I32)
+
+
 def histogram_codes(codes: jax.Array, nvalid: jax.Array, nsym: int) -> jax.Array:
-    """(nsym,) counts of codes[:nvalid] — broadcast compare-reduce."""
+    """(nsym,) counts of codes[:nvalid]."""
     n = codes.shape[0]
     pos = jnp.arange(n, dtype=I32)
-    vals = jnp.where(pos < nvalid, codes.astype(I32), nsym)
-    k = jnp.arange(nsym, dtype=I32)
-    return jnp.sum((vals[None, :] == k[:, None]).astype(I32), axis=1)
+    return histogram_matmul(codes, pos < nvalid, nsym)
 
 
 def normalize_64(cnt: jax.Array, total: jax.Array) -> jax.Array:

@@ -62,15 +62,13 @@ def _floor_log2(v: jax.Array) -> jax.Array:
 
 
 def literal_histogram(lits: jax.Array, nlit: jax.Array) -> jax.Array:
-    """(256,) counts of lits[:nlit] — broadcast compare-reduce.
+    """(256,) counts of lits[:nlit] — nibble one-hot MXU contraction
+    (ops/fse_tables_jax.histogram_matmul; ~4x the 256-wide compare-reduce)."""
+    from .fse_tables_jax import histogram_matmul
 
-    The (256, N) compare fuses into the reduction (no scatter, no sort);
-    on v5e this is ~30x the sort+searchsorted rate at N=128K."""
     N = lits.shape[0]
     pos = jnp.arange(N, dtype=I32)
-    vals = jnp.where(pos < nlit, lits.astype(I32), 256)
-    k = jnp.arange(256, dtype=I32)
-    return jnp.sum((vals[None, :] == k[:, None]).astype(I32), axis=1)
+    return histogram_matmul(lits.astype(I32), pos < nlit, 256)
 
 
 def build_lengths(cnt: jax.Array, nlit: jax.Array, max_bits: int = MAX_BITS) -> tuple[jax.Array, jax.Array]:

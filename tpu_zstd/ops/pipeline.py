@@ -38,8 +38,9 @@ class PipelineConfig:
     hash_log: int = 17
     depth: int = 12
     # Carried sort words = cap/4: a real cost (tools/sample_ab.py sweep) —
-    # 12 beats 32 by +37% throughput for -0.4% ratio at the L3 shape.
-    cap: int = 12
+    # 12 beats 32 by +37% throughput for -0.4% ratio at the L3 shape, and the
+    # round-5 re-sweep found 8 beats 12 on both axes (see api/config.py).
+    cap: int = 8
     min_match: int = 4
     lazy: bool = True  # 1-step lazy parse (Strategy.LAZY and up)
     optimal: bool = False  # BTOPT-style segment DP (Strategy.BTOPT and up)
@@ -450,7 +451,15 @@ def compress_blocks_staged_many(batches, cfg: PipelineConfig):
     results = []
     pending = []
     for jb, jl in batches:
-        pending.append((jb, jl, _parse_prep_stage(jb, jl, cfg)))
+        seqs, nseq_dev = _parse_prep_stage(jb, jl, cfg)
+        # Start the nseq device->host copy NOW: by the time this batch is
+        # drained (one batch later) the transfer has landed, so the bucket
+        # decision never blocks on the link round-trip.
+        try:
+            nseq_dev.copy_to_host_async()
+        except AttributeError:
+            pass
+        pending.append((jb, jl, (seqs, nseq_dev)))
         if len(pending) >= 2:
             results.append(_drain_one(pending, cfg))
     while pending:
