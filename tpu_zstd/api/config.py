@@ -120,7 +120,7 @@ class CompressionConfig:
             # (parse 46.8 -> 41.5 ms per 128x128K, ratio 2.706 -> 2.713 —
             # the same-offset merge pass re-joins matches truncated at the
             # cap, and shorter carried words improve tie-breaking).
-            p = dict(strategy=Strategy.LAZY, hash_log=17, search_depth=12, compare_cap=8)
+            p = dict(strategy=Strategy.LAZY, hash_log=17, search_depth=8, compare_cap=8)
         elif level <= 6:
             p = dict(strategy=Strategy.LAZY, hash_log=17, search_depth=8, compare_cap=64)
         elif level <= 9:

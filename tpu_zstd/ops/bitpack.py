@@ -158,22 +158,26 @@ def deposit_bits_tree(
     M = values.shape[0]
     lengths = lengths.astype(jnp.int32)
     total_bits = jnp.sum(lengths)
-    Mp = 1 << max(1, (M - 1).bit_length())
     mask = jnp.where(
         lengths >= 32,
         U32(0xFFFFFFFF),
         (U32(1) << jnp.minimum(lengths, 31).astype(U32)) - U32(1),
     )
     v = values.astype(U32) & mask
-    if Mp != M:
-        v = jnp.pad(v, (0, Mp - M))
-        lengths = jnp.pad(lengths, (0, Mp - M))
 
     words = v[:, None]  # (segments, width)
     lens = lengths
     width = 1
     cap_bits = max_field_bits
     while words.shape[0] > 1:
+        if words.shape[0] % 2:
+            # Odd segment counts pad with one empty segment per level instead
+            # of rounding the leaf count to a power of two up front — a batch
+            # bucket just past a 2^k/3 boundary would otherwise DOUBLE the
+            # whole tree (measured: bucket 20480 -> 24576 regressed the
+            # deposit 1.7x through the 65536 -> 131072 leaf cliff).
+            words = jnp.pad(words, ((0, 1), (0, 0)))
+            lens = jnp.pad(lens, (0, 1))
         segs = words.shape[0] // 2
         cap_bits = min(2 * cap_bits, num_words * 32)
         new_width = min(-(-cap_bits // 32), num_words)

@@ -36,7 +36,7 @@ class PipelineConfig:
 
     block_size: int = BLOCK_SIZE_MAX
     hash_log: int = 17
-    depth: int = 12
+    depth: int = 8
     # Carried sort words = cap/4: a real cost (tools/sample_ab.py sweep) —
     # 12 beats 32 by +37% throughput for -0.4% ratio at the L3 shape, and the
     # round-5 re-sweep found 8 beats 12 on both axes (see api/config.py).
@@ -413,7 +413,7 @@ def _encode_stage(blocks, lengths, seqs, cfg: PipelineConfig, msb: int):
 # All entries are multiples of the state-chain CHUNK (64). The state chains +
 # deposit cost is ~linear in the bucket size, so a 20480 bucket saves ~37% of
 # the encode stage vs 32768 when max(nseq) lands just above 16384.
-_BUCKETS = (2048, 4096, 8192, 12288, 16384, 20480, 24576, 28672)
+_BUCKETS = (2048, 4096, 8192, 12288, 16384, 20480, 21760, 24576, 28672)
 
 
 def _pick_bucket(bmax: int, full: int) -> int:
