@@ -48,10 +48,15 @@ def accel_frames(corpus):
 
 
 def test_metadata_roundtrip():
-    bits = np.asarray([100, 200, 300], np.uint32)
+    # v4 wire format delta-encodes the checkpoint cursors, which DECREASE
+    # with the chunk index (they count unread bits); synthetic data must
+    # respect that invariant like the encoder does.
+    bits = np.asarray([90000, 89000, 88000], np.uint32)
     states = np.asarray([7 | (9 << 10) | (11 << 20)] * 3, np.uint32)
     reps = np.asarray([[17, 42, 9000], [1, 4, 8], [5, 17, 42]], np.uint32)
-    lit_ck = np.arange(8, dtype=np.uint32).reshape(4, 2) * 1000
+    lit_ck = np.asarray(
+        [[8000, 7000], [6000, 5500], [4000, 3999], [2000, 1000]], np.uint32
+    )
     frame = write_accel_frame(
         64,
         [(777, bits, states, reps, lit_ck), (0, bits[:0], states[:0], reps[:0])],

@@ -130,9 +130,14 @@ class CompressionConfig:
         elif level <= 19:
             # Depth sweep on-chip (2026-08-21, L19/2MB): 16 -> 32 -> 48 = 
             # 2.755 -> 2.807 -> 2.824; candidate window 15 -> 16 = +0.9%.
-            p = dict(strategy=Strategy.BTOPT, hash_log=18, search_depth=48, compare_cap=64)
+            # min_match 3 like the reference (types.cpp:883-947) at the
+            # optimal-parse levels only: the two-pass DP prices a 3-byte
+            # match's real bits, so it is taken exactly when it wins.
+            p = dict(strategy=Strategy.BTOPT, hash_log=18, search_depth=48,
+                     compare_cap=64, min_match=3)
         else:
-            p = dict(strategy=Strategy.BTULTRA, hash_log=18, search_depth=96, compare_cap=64)
+            p = dict(strategy=Strategy.BTULTRA, hash_log=18, search_depth=96,
+                     compare_cap=64, min_match=3)
         # NOTE: enable_ldm (cross-block 64 KB windows via the sampled LDM
         # pass) stays OPT-IN at every level: blocks compress independently by
         # default, exactly like the reference GPU (its multi-GPU/window modes

@@ -29,7 +29,11 @@ from .config import (
 )
 
 
-ACCEL_STRIDE = 64  # decoder-checkpoint stride (format/accel.py)
+# Decoder-checkpoint stride (format/accel.py). Round-5 retune: the lane
+# decoders cost ~2 ms of a ~200 ms decode while the sidecar costs ~20 B per
+# chunk, so coarse chunks buy compressed size almost for free (64 -> 256
+# quarters the sidecar; serial steps per lane stay << the executor wall).
+ACCEL_STRIDE = 256
 
 
 def _pipeline_config(cfg: CompressionConfig):

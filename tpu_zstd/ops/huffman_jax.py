@@ -32,12 +32,12 @@ F32 = jnp.float32
 
 MAX_BITS = 11
 TSIZE = 1 << MAX_BITS  # Kraft budget at max_bits granularity
-# Decode-accelerated (inference-profile) frames cap code lengths at 8 so the
-# whole decode table fits two 128-lane take_along_axis banks of the
-# lane-parallel TPU decoder (ops/pallas_decode.py). Stock libzstd decodes
-# either way; non-accel frames keep the full 11-bit codes (measured ~5%
-# L3 ratio cost on the bench corpus if capped globally).
-ACCEL_MAX_BITS = 8
+# Round 4 capped accel-frame code lengths at 8 bits so the decode table fit
+# two 128-lane taa banks; the lane decoder now selects across 16 banks
+# (ops/pallas_decode.py) at negligible cost next to the executor wall, so
+# accel frames keep the full 11-bit codes (the 8-bit cap measured ~5.6%
+# compressed size on the bench corpus).
+ACCEL_MAX_BITS = 11
 
 
 def huff_payload_cap(block_size: int) -> int:

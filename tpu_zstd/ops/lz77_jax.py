@@ -65,8 +65,15 @@ class BlockSequences(NamedTuple):
     nlit: jax.Array      # () int32 total literal count (== n - sum(ml))
 
 
-def _hash_words(block: jax.Array, hash_log: int) -> tuple[jax.Array, jax.Array]:
-    """4-byte words + Fibonacci hashes per position."""
+def _hash_words(
+    block: jax.Array, hash_log: int, min_match: int = 4
+) -> tuple[jax.Array, jax.Array]:
+    """4-byte words + Fibonacci hashes per position.
+
+    min_match == 3 hashes only the low 3 bytes (reference hash fn
+    lz77_parallel.h:20-23 `(b0<<16|b1<<8|b2) * 2654435761`), so chain
+    candidates agree on 3 bytes and 3-byte matches become findable — the
+    reference uses min_match 3 at every level (types.cpp:883-947)."""
     b = block.astype(U32)
     w = (
         b
@@ -74,7 +81,8 @@ def _hash_words(block: jax.Array, hash_log: int) -> tuple[jax.Array, jax.Array]:
         | (jnp.roll(b, -2) << U32(16))
         | (jnp.roll(b, -3) << U32(24))
     )
-    h = (w * U32(HASH_PRIME)) >> U32(32 - hash_log)
+    hw = (w & U32(0xFFFFFF)) if min_match == 3 else w
+    h = (hw * U32(HASH_PRIME)) >> U32(32 - hash_log)
     return w, h.astype(I32)
 
 
@@ -101,6 +109,7 @@ def find_matches(
     use_pallas_match: bool = False,
     sample_log: int = 0,
     two_band: bool = False,
+    min_match: int = 4,
 ) -> tuple[jax.Array, ...]:
     """Best (capped) match per position: returns (best_ml, best_off), pos order.
 
@@ -131,8 +140,8 @@ def find_matches(
     N = block.shape[0]
     nwords = cap // 4
     pos = jnp.arange(N, dtype=I32)
-    w, h = _hash_words(block, hash_log)
-    live = (pos < n - 3) & (pos >= win_start)
+    w, h = _hash_words(block, hash_log, min_match)
+    live = (pos < n - (min_match - 1)) & (pos >= win_start)
     words = [jnp.roll(w, -4 * k).astype(I32) for k in range(nwords)]
 
     windowed = 0 < mf_win_log < max(1, (N - 1).bit_length()) and N % (1 << mf_win_log) == 0
@@ -512,6 +521,7 @@ def parse_block(
     optimal: bool = False,
     ldm: bool = False,
     sample_log: int = 0,
+    dec_min_ml: int = 0,
 ) -> BlockSequences:
     """Greedy-parse one (padded) block into sequences. block: (N,) uint8/int32.
 
@@ -540,7 +550,7 @@ def parse_block(
         fm = find_matches(
             block[block_start:], n - block_start, hash_log=hash_log,
             depth=depth, cap=cap, win_start=0, mf_win_log=mf_win_log,
-            sample_log=sample_log, two_band=optimal,
+            sample_log=sample_log, two_band=optimal, min_match=min_match,
         )
         zpad = jnp.zeros((block_start,), I32)
         bml = jnp.concatenate([zpad, fm[0]])
@@ -552,6 +562,7 @@ def parse_block(
         fm = find_matches(
             block, n, hash_log=hash_log, depth=depth, cap=cap, win_start=win_start,
             mf_win_log=mf_win_log, sample_log=sample_log, two_band=optimal,
+            min_match=min_match,
         )
         bml, boff = fm[0], fm[1]
         if optimal:
@@ -573,6 +584,12 @@ def parse_block(
     room = seg - (pos & (seg - 1))
     ml_t = jnp.minimum(bml, room)
     matched = (ml_t >= min_match) & (boff > 0) & (pos < n) & (pos >= block_start)
+    if dec_min_ml > min_match:
+        # Decode-tuned profile: drop short matches (fewer sequences to
+        # execute on the device decoder); same-offset continuations stay
+        # exempt — the merge pass folds them into one long sequence.
+        prev_off0 = jnp.roll(boff, 1)
+        matched = matched & ((ml_t >= dec_min_ml) | (boff == prev_off0))
     defer = None
     if optimal:
         # BTOPT-style exact segment DP over the candidate set (levels 16-22,
@@ -816,6 +833,12 @@ def parse_block(
     starts = jnp.where(valid, starts, 0)
     mls = jnp.where(valid, mls, 0)
     offs = jnp.where(valid, offs, 0)
+    # Overflow poison (reachable only at min_match 3, where the worst-case
+    # sequence count is n/3 > max_seqs): the extraction above TRUNCATES past
+    # max_seqs, so a block that parsed into more sequences falls back to
+    # all-literals — the assembler then emits a Raw block (never corrupt
+    # output, tiny ratio loss on a pathological block).
+    overflow = nseq > max_seqs
 
     ends = starts + mls
     prev_end = jnp.roll(ends, 1).at[0].set(jnp.asarray(block_start, I32) + 0)
@@ -865,4 +888,16 @@ def parse_block(
 
         ob = rep_codes_scan(packed_rep)
 
+    if min_match < 4:
+        nseq2 = jnp.where(overflow, 0, nseq2)
+        if isinstance(block_start, int):
+            pay = jnp.roll(block, -block_start).astype(jnp.uint8)
+        else:
+            from .bitpack import dynroll_left
+
+            pay = dynroll_left(block.astype(I32), block_start, N).astype(jnp.uint8)
+        lits = jnp.where(overflow, pay, lits)
+        nlit = jnp.where(overflow, jnp.maximum(n - block_start, 0), nlit)
+        zero_if = lambda a: jnp.where(overflow, 0, a)
+        ll2, ml2, ob, off2, starts2 = map(zero_if, (ll2, ml2, ob, off2, starts2))
     return BlockSequences(ll2, ml2, ob, off2, starts2, nseq2, lits, nlit)

@@ -50,10 +50,13 @@ def _taa8(bank: jax.Array, idx: jax.Array) -> jax.Array:
 
 
 def _huf_lanes_kernel(slices_ref, bits_ref, nsym_ref, tl_ref, banks_ref,
-                      out_ref, *, stride: int, wmax: int):
-    """One (8, 128)-chunk tile per grid step; `stride` symbols per chunk."""
-    b0 = banks_ref[:, 0, :]
-    b1 = banks_ref[:, 1, :]
+                      out_ref, *, stride: int, wmax: int, nbanks: int):
+    """One (8, 128)-chunk tile per grid step; `stride` symbols per chunk.
+
+    nbanks 128-lane banks cover a 2^tl-entry table (16 banks = the full
+    11-bit MAX_BITS codes; round 4 capped accel frames at 8-bit codes for a
+    2-bank table, costing ~5.6% compressed size — the executor dominates the
+    decode wall, so the wider bank select is effectively free)."""
     n = tl_ref[...]
     ns = nsym_ref[...]
 
@@ -83,7 +86,11 @@ def _huf_lanes_kernel(slices_ref, bits_ref, nsym_ref, tl_ref, banks_ref,
             v = (lo >> sh) | ((hi << U32(1)) << (U32(31) - sh))
             raw = (v & ((U32(1) << have.astype(U32)) - U32(1))).astype(I32)
             idx = raw << (n - have)
-            g = jnp.where(idx < 128, _taa8(b0, idx), _taa8(b1, idx))
+            g = _taa8(banks_ref[:, 0, :], idx)
+            for w in range(1, nbanks):
+                g = jnp.where(
+                    (idx >> 7) == w, _taa8(banks_ref[:, w, :], idx), g
+                )
             nb = g & 15
             sym = g >> 4
             bp = jnp.where(active, bp - nb, bp)
@@ -106,8 +113,8 @@ def decode_huffman_lanes(
     slices: jax.Array,   # (wmax, R//128, 128) int32 — per-chunk stream words
     bits0: jax.Array,    # (R//128, 128) int32 initial bit cursor (slice-rel)
     nsym: jax.Array,     # (R//128, 128) int32 symbols per chunk
-    tl: jax.Array,       # (R//128, 128) int32 per-chunk table_log (<= 8)
-    banks: jax.Array,    # (R//128, 2, 128) int32 packed (symbol<<4 | nb)
+    tl: jax.Array,       # (R//128, 128) int32 per-chunk table_log (<= 11)
+    banks: jax.Array,    # (R//128, NB, 128) int32 packed (symbol<<4 | nb)
     stride: int,
     wmax: int,
     interpret: bool = False,
@@ -119,9 +126,12 @@ def decode_huffman_lanes(
     multiple of 128 rows).
     """
     R8 = slices.shape[1]
+    NB = banks.shape[1]
     assert R8 % 8 == 0 and stride % 2 == 0
     grid = R8 // 8
-    kern = functools.partial(_huf_lanes_kernel, stride=stride, wmax=wmax)
+    kern = functools.partial(
+        _huf_lanes_kernel, stride=stride, wmax=wmax, nbanks=NB
+    )
     out = pl.pallas_call(
         kern,
         grid=(grid,),
@@ -130,7 +140,10 @@ def decode_huffman_lanes(
             pl.BlockSpec((8, 128), lambda t: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda t: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda t: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 2, 128), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (8, banks.shape[1], 128), lambda t: (t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=pl.BlockSpec((stride, 8, 128), lambda t: (0, t, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((stride, R8, 128), I32),
@@ -156,20 +169,24 @@ def build_litlane_inputs(block_litdevs, lit_cks, ncl_pad: int, stride: int):
     nb = len(block_litdevs)
     rows_per_block = 4 * ncl_pad
     R = nb * rows_per_block
-    wmax = stride * 8 // 32 + 4
+    # 11 = MAX_BITS: a chunk's stream span is bounded by stride * max code
+    # length (the 8-bit accel cap is gone; see huffman_jax.ACCEL_MAX_BITS).
+    wmax = stride * 11 // 32 + 4
     slices = np.zeros((wmax, R), np.int32)
     bits0 = np.zeros(R, np.int32)
     nsym = np.zeros(R, np.int32)
     tlv = np.zeros(R, np.int32)
-    banks = np.zeros((R // 128, 2, 128), np.int32)
+    max_tl = max(max(int(litdev[4]) for litdev, _ in zip(block_litdevs, lit_cks)), 8)
+    NB = max(-(-(1 << max_tl) // 128), 2)
+    banks = np.zeros((R // 128, NB, 128), np.int32)
     for bi, (litdev, lck) in enumerate(zip(block_litdevs, lit_cks)):
         streams, tbits, nsyms, packed, tl, _regen = litdev
         size = 1 << tl
         brow0 = bi * rows_per_block // 128
         for j in range(brow0, brow0 + rows_per_block // 128):
-            banks[j, 0, :min(size, 128)] = packed[:min(size, 128)]
-            if size > 128:
-                banks[j, 1, :size - 128] = packed[128:size]
+            for w in range(-(-size // 128)):
+                e = min(size - w * 128, 128)
+                banks[j, w, :e] = packed[w * 128 : w * 128 + e]
         for s in range(4):
             sb = np.frombuffer(streams[s], np.uint8)
             pad = (-len(sb)) % 4

@@ -49,8 +49,9 @@ class PipelineConfig:
     custom_fse: bool = True  # per-block FSE sequence tables (ops/fse_tables_jax.py)
     seg_log: int = 10  # greedy-parse segment log (scan length = 2^seg_log)
     ckpt_every: int = 0  # decoder-checkpoint stride (0 = no accel metadata)
-    lit_ckpt_every: int = 512  # literal decode-checkpoint stride (coarser:
-    # literals are ~10-40x more numerous than sequences)
+    lit_ckpt_every: int = 1024  # literal decode-checkpoint stride (coarser:
+    # literals are ~10-40x more numerous than sequences; round-5 doubled it —
+    # the lit-lane decode is ~1% of the decode wall)
     # Offset-cost gate (ml-4/ml-5 max offset codes; 99 = off): short matches
     # at large offsets cost more bits than the literals they replace.
     of_gate: tuple = (8, 12)
@@ -76,6 +77,12 @@ class PipelineConfig:
     # 2^sample_log-th position participates in match search — sort rows
     # shrink by the same factor. FAST levels only (costs ratio).
     sample_log: int = 0
+    # Decode-tuned profile (accel/inference frames): suppress matches shorter
+    # than this so frames decode with FEWER, LONGER sequences — the device
+    # executor pays ~90-170 cycles PER SEQUENCE, so bytes/sequence is the
+    # decode-throughput lever (reference inference API counterpart:
+    # decompress_batch_preallocated, manager.h:193-273). 0 = off.
+    dec_min_ml: int = 0
 
     @property
     def eff_mf_win_log(self) -> int:
@@ -85,7 +92,12 @@ class PipelineConfig:
 
     @property
     def max_seqs(self) -> int:
-        # greedy advance per sequence >= min_match (>= 4); chunk-align.
+        # block_size/4 even at min_match 3: a parse needing more sequences
+        # than this requires most matches to be bare 3-byte takes, which the
+        # DP prices out; parse_block detects the overflow and poisons the
+        # block to Raw instead (keeping the capacity at the min_match-3 bound
+        # would make every shape non-pow2 — measured as an XLA:CPU compile
+        # explosion on the L19 suite path).
         return self.block_size // 4
 
     @property
@@ -149,6 +161,7 @@ def _parse_one(block: jax.Array, n: jax.Array, cfg: PipelineConfig, dlen: jax.Ar
         optimal=cfg.optimal,
         ldm=cfg.ldm,
         sample_log=cfg.sample_log,
+        dec_min_ml=cfg.dec_min_ml,
     )
 
 
